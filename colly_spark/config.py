@@ -1,0 +1,103 @@
+"""CrawlConfig / LimitRule — the frozen config broadcast to executors.
+
+Field-for-field coverage of the reference Collector options (colly.go:56-142)
+and LimitRule (http_backend.go:52-67). Mutable collector *state* (store,
+robotsMap, counters) is NOT here — it lives in state tables managed by
+:mod:`colly_spark.statestore`.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class LimitRule:
+    """Per-domain politeness rule (http_backend.go:52-67).
+
+    First matching rule wins, in registration (``rule_idx``) order
+    (http_backend.go:143-155). ``parallelism`` caps concurrent fetches for
+    matching domains (semaphore of cap max(parallelism,1),
+    http_backend.go:105); after each response the worker sleeps
+    ``delay + rand(random_delay)`` (http_backend.go:202-214).
+    """
+
+    domain_regexp: str | None = None
+    domain_glob: str | None = None
+    delay_ms: int = 0
+    random_delay_ms: int = 0
+    parallelism: int = 1
+
+    def matches(self, domain: str) -> bool:
+        if self.domain_regexp:
+            return re.search(self.domain_regexp, domain) is not None
+        if self.domain_glob:
+            return fnmatch.fnmatch(domain, self.domain_glob)
+        return False
+
+
+def match_rule_idx(domain: str, rules: tuple[LimitRule, ...]) -> int:
+    """Index of first matching rule, or -1 (http_backend.go:143-155)."""
+    for i, r in enumerate(rules):
+        if r.matches(domain):
+            return i
+    return -1
+
+
+def tokens_for_rule(rule: LimitRule | None, round_budget_ms: int, service_est_ms: int = 10) -> int:
+    """Fetch tokens one domain gets per round under ``rule``.
+
+    Derived from the reference's steady-state throughput bound: a domain
+    group with Parallelism P, Delay D and mean service time S sustains at
+    most ``P * budget / (D + D_rand/2 + S)`` requests per ``budget`` of wall
+    time (semaphore + post-response sleep, http_backend.go:202-214).
+    Deterministic — shared by the engine and the serial simulator so visit
+    order matches exactly under the same politeness budget.
+    """
+    if rule is None:
+        return 1 << 30  # unlimited
+    per_req_ms = rule.delay_ms + rule.random_delay_ms // 2 + service_est_ms
+    par = max(rule.parallelism, 1)
+    return max(par, int(par * round_budget_ms // max(per_req_ms, 1)))
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Frozen crawl configuration (reference Collector fields, colly.go:56-142)."""
+
+    user_agent: str = "colly-spark/0.1"  # colly.go:59 UserAgent
+    max_depth: int = 0  # colly.go:63 (0 = unlimited; root Visit has depth 1)
+    allowed_domains: tuple[str, ...] = ()  # colly.go:66 exact-hostname match
+    disallowed_domains: tuple[str, ...] = ()  # colly.go:68
+    disallowed_url_filters: tuple[str, ...] = ()  # colly.go:74, checked first
+    url_filters: tuple[str, ...] = ()  # colly.go:81, any-match required if set
+    allow_url_revisit: bool = False  # colly.go:84
+    max_body_size: int = 10 * 1024 * 1024  # colly.go:499 default 10 MiB
+    ignore_robots_txt: bool = True  # colly.go:95,507 (default: ignore)
+    parse_http_error_response: bool = False  # colly.go:102
+    max_requests: int = 0  # colly.go:121 (0 = unlimited)
+    max_url_length: int = 0  # extensions/url_length_filter.go:8-14 (0 = off)
+    max_redirects: int = 10  # colly.go:1516-1519
+    max_queue_size: int = 0  # queue/queue.go:234-236 (0 = unbounded)
+
+    limit_rules: tuple[LimitRule, ...] = ()
+    round_budget_ms: int = 1000  # wall budget a round models for politeness
+    service_est_ms: int = 10
+    seed: int = 42  # drives RandomDelay determinism
+
+    # engine knobs (no reference analog; scale controls)
+    shuffle_partitions: int = 32
+    seen_bloom_enabled: bool = False  # exact anti-join always on; bloom pre-filter
+    seen_bloom_fpp: float = 0.01
+    seen_bloom_partitions: int = 64  # sandbox-scale stand-in for 4096 at 10^10
+    max_rounds: int = 64
+
+    extra: dict = field(default_factory=dict, compare=False, hash=False)
+
+    def compiled_disallowed(self) -> list[re.Pattern]:
+        return [re.compile(p) for p in self.disallowed_url_filters]
+
+    def compiled_allowed(self) -> list[re.Pattern]:
+        return [re.compile(p) for p in self.url_filters]

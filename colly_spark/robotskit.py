@@ -1,0 +1,112 @@
+"""robots.txt evaluator with wildcard support (F6).
+
+Reproduces the matching semantics the reference gets from its robotstxt
+library (colly.go:893-905 ``FindGroup(UserAgent).Test(path?query)``):
+
+- user-agent groups, longest-prefix agent match, ``*`` fallback group,
+- ``Allow``/``Disallow`` rules with ``*`` wildcards and ``$`` end anchor,
+- longest-rule-wins; tie -> Allow wins (Google/REP semantics),
+- empty Disallow == allow all; no matching rule == allowed,
+- the query string participates in matching (colly_test.go:1304-1319).
+
+stdlib ``urllib.robotparser`` is NOT used: it lacks ``*`` wildcard support,
+which the reference's fixture robots file relies on
+(``Disallow: /allowed*q=``, colly_test.go:55-60).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+
+def _rule_regex(pattern: str) -> re.Pattern:
+    """Compile a robots path pattern ('*' wildcard, '$' anchor) to a regex."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    parts = [re.escape(p) for p in pattern.split("*")]
+    body = "(?:.*?)".join(parts)
+    return re.compile("^" + body + ("$" if anchored else ""))
+
+
+class RobotsRules:
+    """Parsed rule groups for one robots.txt body."""
+
+    __slots__ = ("groups",)
+
+    def __init__(self, body: str):
+        # groups: list of (agent_lower, [(is_allow, pattern, weight)])
+        self.groups: list[tuple[str, list[tuple[bool, str]]]] = []
+        current_agents: list[str] = []
+        rules_open = False
+        for raw_line in (body or "").splitlines():
+            line = raw_line.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, _, val = line.partition(":")
+            key = key.strip().lower()
+            val = val.strip()
+            if key == "user-agent":
+                if rules_open:
+                    current_agents = []
+                    rules_open = False
+                agent = val.lower()
+                current_agents.append(agent)
+                self.groups.append((agent, []))
+            elif key in ("allow", "disallow"):
+                rules_open = True
+                if not current_agents:
+                    continue
+                for g_agent, g_rules in self.groups:
+                    if g_agent in current_agents:
+                        g_rules.append((key == "allow", val))
+
+    def _group_for(self, user_agent: str) -> list[tuple[bool, str]] | None:
+        ua = (user_agent or "").lower()
+        best: tuple[int, list] | None = None
+        star: list | None = None
+        for agent, rules in self.groups:
+            if agent == "*":
+                if star is None:
+                    star = rules
+            elif agent in ua or ua.startswith(agent):
+                if best is None or len(agent) > best[0]:
+                    best = (len(agent), rules)
+        if best is not None:
+            return best[1]
+        return star
+
+    def allowed(self, user_agent: str, path_query: str) -> bool:
+        rules = self._group_for(user_agent)
+        if not rules:
+            return True
+        pq = path_query or "/"
+        best_len = -1
+        best_allow = True
+        for is_allow, pattern in rules:
+            if pattern == "":
+                continue  # empty Disallow = no restriction; empty Allow = no-op
+            if _compiled(pattern).match(pq):
+                match_len = len(pattern)
+                if match_len > best_len or (match_len == best_len and is_allow):
+                    best_len = match_len
+                    best_allow = is_allow
+        return best_allow if best_len >= 0 else True
+
+
+@lru_cache(maxsize=4096)
+def _compiled(pattern: str) -> re.Pattern:
+    return _rule_regex(pattern)
+
+
+@lru_cache(maxsize=1024)
+def parse_robots(body: str) -> RobotsRules:
+    return RobotsRules(body)
+
+
+def robots_allowed(body: str | None, user_agent: str, path_query: str) -> bool:
+    """Top-level check; None/empty body -> everything allowed."""
+    if not body:
+        return True
+    return parse_robots(body).allowed(user_agent, path_query)

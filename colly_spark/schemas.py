@@ -1,0 +1,162 @@
+"""Explicit StructType schemas for every state table (no inference anywhere).
+
+Each schema is the columnar restatement of a reference struct — see
+SURVEY.md §1.1 for the field-by-field derivation:
+
+- FRONTIER   <- colly Request (request.go:27-53) + serializableRequest
+               (request.go:55-64) wire format
+- URL_SEEN   <- storage.Storage visited map (storage/storage.go:30-51)
+- ROBOTS     <- robotsMap cache (colly.go:125, 847-906)
+- RESULTS    <- validated payload rows (BASELINE input_hint image+caption)
+- ERRORS     <- colly sentinel errors (colly.go:220-253) + OnError dispatch
+- LINEAGE    <- debug.Event stream (debug/debug.go:17-27) aggregated
+               per (round, partition, stage)
+- PAGES/IMAGES/SEEDS/LIMIT_RULES <- fixture tables (FIXTURES.md)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def _s(*fields: StructField) -> StructType:
+    return StructType(list(fields))
+
+
+# Candidate/frontier rows. enqueue_seq is colly's Request.ID equivalent
+# (monotone submission order, colly.go:705); fetch_seq is queue dispatch
+# order (queue/queue.go:160-205) — the visit-order equality target.
+FRONTIER = _s(
+    StructField("url_raw", StringType()),
+    StructField("canon_url", StringType()),
+    StructField("domain", StringType()),
+    StructField("path_query", StringType()),
+    StructField("url_hash", LongType()),
+    StructField("depth", IntegerType()),
+    StructField("method", StringType()),
+    StructField("body", BinaryType()),
+    StructField("ctx", MapType(StringType(), StringType())),
+    StructField("parent_url", StringType()),
+    StructField("parent_seq", LongType()),
+    StructField("sel_idx", IntegerType()),
+    StructField("elem_idx", IntegerType()),
+    StructField("link_idx", IntegerType()),
+    StructField("skip_seen_check", BooleanType()),
+    StructField("enqueue_seq", LongType()),
+    StructField("round", IntegerType()),
+)
+
+URL_SEEN = _s(
+    StructField("url_hash", LongType()),
+    StructField("domain_hash", IntegerType()),
+    StructField("round_added", IntegerType()),
+)
+
+ROBOTS_CACHE = _s(
+    StructField("host", StringType()),
+    StructField("robots_body", StringType()),
+    StructField("fetch_failed", BooleanType()),
+    StructField("fetched_round", IntegerType()),
+)
+
+RESULTS = _s(
+    StructField("fetch_seq", LongType()),
+    StructField("url", StringType()),
+    StructField("depth", IntegerType()),
+    StructField("status", IntegerType()),
+    StructField("image_id", StringType()),
+    StructField("caption", StringType()),
+    StructField("payload_ok", BooleanType()),
+    StructField("psnr_db", StringType()),  # formatted; 'inf' for lossless
+    StructField("round", IntegerType()),
+)
+
+ERRORS = _s(
+    StructField("enqueue_seq", LongType()),
+    StructField("url", StringType()),
+    StructField("depth", IntegerType()),
+    StructField("error_kind", StringType()),
+    StructField("status", IntegerType()),
+    StructField("round", IntegerType()),
+)
+
+# north rule: per-partition lineage rows (round, partition, urls_in/out, fetch_ms)
+LINEAGE = _s(
+    StructField("round", IntegerType()),
+    StructField("partition", IntegerType()),
+    StructField("stage", StringType()),
+    StructField("urls_in", LongType()),
+    StructField("urls_out", LongType()),
+    StructField("fetch_ms", LongType()),
+)
+
+VISITS = _s(  # dispatch-order trace: the golden-equality surface
+    StructField("fetch_seq", LongType()),
+    StructField("enqueue_seq", LongType()),
+    StructField("url", StringType()),
+    StructField("url_hash", LongType()),
+    StructField("domain", StringType()),
+    StructField("depth", IntegerType()),
+    StructField("status", IntegerType()),
+    StructField("fetch_ms", LongType()),
+    StructField("round", IntegerType()),
+)
+
+# ---------------- fixture tables (FIXTURES.md) ----------------
+
+PAGES = _s(
+    StructField("url", StringType()),
+    StructField("domain", StringType()),
+    StructField("status", IntegerType()),
+    StructField("content_type", StringType()),
+    StructField("body", BinaryType()),
+    StructField("redirect_to", StringType()),
+    StructField("links", ArrayType(StringType())),
+    StructField("base_href", StringType()),
+    StructField("image_refs", ArrayType(StringType())),
+    StructField("gzip_body", BooleanType()),
+    StructField("serve_delay_ms", IntegerType()),
+)
+
+IMAGES = _s(  # BASELINE.json input_hint, exact shape
+    StructField("image_id", StringType()),
+    StructField("bytes", BinaryType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("fmt", StringType()),
+    StructField("caption", StringType()),
+    StructField("phash", LongType()),
+)
+
+ROBOTS_FIXTURE = _s(
+    StructField("host", StringType()),
+    StructField("body", StringType()),
+    StructField("fetch_fails", BooleanType()),
+)
+
+SEEDS = _s(
+    StructField("seed_seq", LongType()),
+    StructField("url", StringType()),
+    StructField("method", StringType()),
+    StructField("body", BinaryType()),
+    StructField("ctx", MapType(StringType(), StringType())),
+)
+
+LIMIT_RULES = _s(
+    StructField("rule_idx", IntegerType()),
+    StructField("domain_regexp", StringType()),
+    StructField("domain_glob", StringType()),
+    StructField("delay_ms", LongType()),
+    StructField("random_delay_ms", LongType()),
+    StructField("parallelism", IntegerType()),
+)

@@ -1,0 +1,279 @@
+"""Serial reference simulator — the golden visit-order / URL-seen spec.
+
+A ~250-line pure-Python restatement of colly's queue-driven crawl loop
+(queue/queue.go:133-212 FIFO dispatch + colly.go:774-818 requestCheck order +
+colly.go:1461-1530 redirect rules), expressed as BFS rounds with per-domain
+politeness token deferral — exactly the semantics the distributed engine
+(:mod:`colly_spark.engine`) must reproduce. Tests assert the engine's
+scheduled order == this trace, url_seen sets equal, and per-outcome error
+rows match (FIXTURES.md §6-7).
+
+requestCheck order (colly.go:774-818): depth -> maxRequests -> url-length ->
+DisallowedURLFilters -> URLFilters -> domains -> robots -> seen. Error kinds
+mirror colly's sentinel errors (colly.go:220-253).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from colly_spark.config import CrawlConfig, match_rule_idx, tokens_for_rule
+from colly_spark.fixtures import Site
+from colly_spark.robotskit import robots_allowed
+from colly_spark.urlkit import absolutize, canonicalize, hostname, path_query
+
+GET = "GET"
+
+
+def check_static_filters(canon: str, domain: str, cfg: CrawlConfig) -> str | None:
+    """F3a/b/c/d filters in reference order; also re-applied per redirect hop
+    (colly.go:1463-1465). Returns error kind or None."""
+    if cfg.max_url_length and len(canon) > cfg.max_url_length:
+        return "ErrURLTooLong"
+    for pat in cfg.compiled_disallowed():  # before URLFilters, colly.go:820-830
+        if pat.search(canon):
+            return "ErrForbiddenURL"
+    allowed_pats = cfg.compiled_allowed()
+    if allowed_pats and not any(p.search(canon) for p in allowed_pats):
+        return "ErrNoURLFiltersMatch"
+    if domain in cfg.disallowed_domains:
+        return "ErrForbiddenDomain"
+    if cfg.allowed_domains and domain not in cfg.allowed_domains:
+        return "ErrForbiddenDomain"
+    return None
+
+
+def seen_key(canon: str, body: bytes | None) -> tuple[str, bytes]:
+    """URL-seen identity: normalized URL ++ request body (colly.go:1669-1678)."""
+    return (canon, body or b"")
+
+
+@dataclass
+class SimResult:
+    visits: list[dict] = field(default_factory=list)  # dispatch order
+    errors: list[dict] = field(default_factory=list)
+    results: list[dict] = field(default_factory=list)  # image+caption rows
+    url_seen: set = field(default_factory=set)
+    rounds: int = 0
+
+    @property
+    def visit_urls(self) -> list[str]:
+        return [v["url"] for v in self.visits]
+
+
+def simulate(site: Site, seeds: list[dict], cfg: CrawlConfig, max_rounds: int | None = None) -> SimResult:
+    pages = site.pages_by_url()
+    robots = site.robots_by_host()
+    res = SimResult()
+    seen: set = set()
+    enqueue_counter = 0
+    fetch_counter = 0
+    built_requests = 0  # colly requestCount (colly.go:705)
+    pending: list[dict] = []  # passed checks, waiting for dispatch
+
+    def submit(cand: dict, rnd: int) -> None:
+        nonlocal enqueue_counter, built_requests
+        canon = canonicalize(cand["url"])
+        if canon is None:
+            res.errors.append(_err(None, cand["url"], cand["depth"], "ErrURLParse", rnd))
+            return
+        domain = hostname(canon)
+        if cfg.max_depth and cand["depth"] > cfg.max_depth:
+            res.errors.append(_err(None, canon, cand["depth"], "ErrMaxDepth", rnd))
+            return
+        if cfg.max_requests and built_requests >= cfg.max_requests:
+            res.errors.append(_err(None, canon, cand["depth"], "ErrMaxRequests", rnd))
+            return
+        kind = check_static_filters(canon, domain, cfg)
+        if kind:
+            res.errors.append(_err(None, canon, cand["depth"], kind, rnd))
+            return
+        if not cfg.ignore_robots_txt and cand["method"] != "HEAD":
+            r = robots.get(domain)
+            if r is not None and r["fetch_fails"]:
+                res.errors.append(_err(None, canon, cand["depth"], "ErrRobotsTxtFetch", rnd))
+                return
+            body = r["body"] if r is not None else None
+            if not robots_allowed(body, cfg.user_agent, path_query(canon)):
+                res.errors.append(_err(None, canon, cand["depth"], "ErrRobotsTxtBlocked", rnd))
+                return
+        check_seen = (
+            not cand.get("skip_seen_check", False)
+            and not cfg.allow_url_revisit
+            # quirk colly.go:794-796: non-GET with nil body skips the check
+            and not (cand["method"] != GET and cand["body"] is None)
+        )
+        key = seen_key(canon, cand["body"])
+        if check_seen and key in seen:
+            res.errors.append(_err(None, canon, cand["depth"], "AlreadyVisited", rnd))
+            return
+        seen.add(key)
+        if cfg.max_queue_size and len(pending) >= cfg.max_queue_size:
+            res.errors.append(_err(None, canon, cand["depth"], "ErrQueueFull", rnd))
+            return
+        built_requests += 1
+        cand = dict(cand, canon_url=canon, domain=domain, enqueue_seq=enqueue_counter)
+        enqueue_counter += 1
+        pending.append(cand)
+
+    def fetch_one(cand: dict, rnd: int) -> None:
+        nonlocal fetch_counter
+        fetch_seq = fetch_counter
+        fetch_counter += 1
+        cur = cand["canon_url"]
+        via: list[str] = []
+        page = None
+        aborted_kind = None
+        for _hop in range(cfg.max_redirects + 1):
+            page = pages.get(cur)
+            if page is None or page.get("redirect_to") is None:
+                break
+            nxt = canonicalize(page["redirect_to"])
+            if nxt is None:
+                aborted_kind = "ErrURLParse"
+                break
+            # per-hop filter re-application (colly.go:1463-1465)
+            kind = check_static_filters(nxt, hostname(nxt), cfg)
+            if kind:
+                aborted_kind = kind
+                break
+            is_cycle = nxt in via or nxt == cand["canon_url"]
+            key = seen_key(nxt, None)
+            if not cfg.allow_url_revisit and key in seen and not is_cycle:
+                aborted_kind = "AlreadyVisited"
+                break
+            seen.add(key)  # every hop marked visited (colly.go:1486-1510)
+            if is_cycle:
+                break  # stop following; use last response (colly.go:1476-1485)
+            via.append(cur)
+            cur = nxt
+
+        rule_idx = match_rule_idx(cand["domain"], cfg.limit_rules)
+        delay = cfg.limit_rules[rule_idx].delay_ms if rule_idx >= 0 else 0
+        if page is None:
+            status = 0
+            fetch_ms = delay
+        else:
+            status = page["status"]
+            fetch_ms = page["serve_delay_ms"] + delay
+        res.visits.append(
+            {
+                "fetch_seq": fetch_seq,
+                "enqueue_seq": cand["enqueue_seq"],
+                "url": cand["canon_url"],
+                "final_url": cur,
+                "domain": cand["domain"],
+                "depth": cand["depth"],
+                "status": status,
+                "fetch_ms": fetch_ms,
+                "round": rnd,
+            }
+        )
+        if aborted_kind:
+            res.errors.append(_err(cand["enqueue_seq"], cand["canon_url"], cand["depth"], aborted_kind, rnd, status))
+            return
+        if page is None:
+            res.errors.append(_err(cand["enqueue_seq"], cand["canon_url"], cand["depth"], "ErrFetch", rnd, 0))
+            return
+        ok = status < 300 or cfg.parse_http_error_response
+        if status >= 300:
+            res.errors.append(_err(cand["enqueue_seq"], cand["canon_url"], cand["depth"], f"HTTPError{status}", rnd, status))
+            if not cfg.parse_http_error_response:
+                return
+        if not _is_html(page):
+            return
+        base = page.get("base_href") or cur
+        for li, raw in enumerate(page["links"] or []):
+            child_url = absolutize(base, raw)
+            if child_url is None:
+                continue  # fragment-only (request.go:102-104)
+            next_children.append(
+                {
+                    "url": child_url,
+                    "depth": cand["depth"] + 1,
+                    "method": GET,
+                    "body": None,
+                    "ctx": cand.get("ctx") or {},
+                    "parent_seq": fetch_seq,
+                    "sel_idx": 0,
+                    "elem_idx": li,
+                    "link_idx": li,
+                }
+            )
+        if ok:
+            for iid in page.get("image_refs") or []:
+                img = site.images_by_id().get(iid)
+                res.results.append(
+                    {
+                        "fetch_seq": fetch_seq,
+                        "url": cur,
+                        "depth": cand["depth"],
+                        "status": status,
+                        "image_id": iid,
+                        "caption": img["caption"] if img else None,
+                        "round": rnd,
+                    }
+                )
+
+    # round 0 submissions: seeds in input order (queue/queue.go:81-99)
+    new_candidates: list[dict] = [
+        {
+            "url": s["url"],
+            "depth": 1,  # root Visit depth=1 (colly.go:543)
+            "method": s.get("method", GET),
+            "body": s.get("body"),
+            "ctx": s.get("ctx") or {},
+            "parent_seq": -1,
+            "sel_idx": -1,
+            "elem_idx": i,
+            "link_idx": i,
+        }
+        for i, s in enumerate(seeds)
+    ]
+
+    limit = max_rounds if max_rounds is not None else cfg.max_rounds
+    rnd = 0
+    while rnd < limit and (new_candidates or pending):
+        next_children: list[dict] = []
+        for cand in new_candidates:
+            submit(cand, rnd)
+        new_candidates = []
+        # dispatch: FIFO by enqueue_seq with per-domain politeness tokens
+        pending.sort(key=lambda c: c["enqueue_seq"])
+        taken_by_domain: dict[str, int] = {}
+        dispatch, deferred = [], []
+        for cand in pending:
+            rule_idx = match_rule_idx(cand["domain"], cfg.limit_rules)
+            rule = cfg.limit_rules[rule_idx] if rule_idx >= 0 else None
+            tokens = tokens_for_rule(rule, cfg.round_budget_ms, cfg.service_est_ms)
+            n = taken_by_domain.get(cand["domain"], 0)
+            if n < tokens:
+                taken_by_domain[cand["domain"]] = n + 1
+                dispatch.append(cand)
+            else:
+                deferred.append(cand)
+        pending = deferred
+        for cand in dispatch:
+            fetch_one(cand, rnd)
+        new_candidates = next_children
+        rnd += 1
+
+    res.rounds = rnd
+    res.url_seen = {k[0] for k in seen}
+    return res
+
+
+def _is_html(page: dict) -> bool:
+    ct = (page.get("content_type") or "").split(";")[0].strip().lower()
+    return ct in ("text/html", "application/xhtml+xml")
+
+
+def _err(seq, url, depth, kind, rnd, status=0) -> dict:
+    return {
+        "enqueue_seq": seq,
+        "url": url,
+        "depth": depth,
+        "error_kind": kind,
+        "status": status,
+        "round": rnd,
+    }
