@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""bench.py — headline crawl throughput + per-query timings (one JSON line).
+
+Headline: frontier URLs/sec (fetch-scheduled) for a crawl over a synthetic
+web generated *distributedly* (never materialized on the driver), seeded
+with every page URL — the steady-state shape of a big frontier batch, which
+is what the 10^10 design point stresses. Queries from ``__spark_entry__``
+run at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1); each is fully
+materialized through the noop sink (count() would let Catalyst prune work).
+
+Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+     BENCH_DOMAINS / BENCH_PAGES_PER_DOMAIN to resize the crawl fixture.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def crawl_bench(spark, n_domains: int, pages_per_domain: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from colly_spark import schemas
+    from colly_spark.config import CrawlConfig, LimitRule
+    from colly_spark.engine import Crawler
+    from colly_spark.fixtures import SiteSpec, build_images, build_pages_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spec = SiteSpec(
+        n_domains=n_domains,
+        pages_per_domain=pages_per_domain,
+        with_specials=True,
+        image_pool_per_domain=4,
+        image_w=16,
+        image_h=12,
+        links_per_page=3,
+    )
+    pages = build_pages_spark(spark, spec).persist()
+    n_pages = pages.count()  # materialize fixture outside the timed window
+    images = spark.createDataFrame(
+        [tuple(i.values()) for i in build_images(spec)], schema=schemas.IMAGES
+    )
+    robots = spark.createDataFrame(
+        [(spec.host(d), "User-agent: *\nDisallow: /disallowed\n", False)
+         for d in range(n_domains)],
+        schema=schemas.ROBOTS_FIXTURE,
+    )
+    # seeds = every regular page URL, distributed; seed_seq derived from the
+    # (domain, page) indexes — deterministic total order with NO global window
+    stride = pages_per_domain * max(spec.hot_domain_factor, 1) + 64
+    seeds = pages.where(F.col("url").rlike(r"/page/\d+$")).select(
+        (
+            F.regexp_extract("url", r"http://d(\d+)\.test", 1).cast("long") * stride
+            + F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long")
+        ).alias("seed_seq"),
+        F.col("url"),
+        F.lit("GET").alias("method"),
+        F.lit(None).cast("binary").alias("body"),
+        F.create_map().cast("map<string,string>").alias("ctx"),
+    )
+    cfg = CrawlConfig(
+        max_depth=2,
+        ignore_robots_txt=False,
+        limit_rules=(LimitRule(domain_glob="*.test", delay_ms=0, parallelism=cpus),),
+        shuffle_partitions=cpus,
+    )
+    crawler = Crawler(spark, cfg, pages, images, robots)
+    t0 = time.time()
+    out = crawler.run(seeds, max_rounds=3)
+    n_visits = out["visits"].count()
+    n_results = out["results"].count()
+    wall = time.time() - t0
+    for s in crawler.stats:
+        print(s, file=sys.stderr)
+    pages.unpersist()
+    return {
+        "pages": n_pages,
+        "visits": n_visits,
+        "results": n_results,
+        "wall_s": round(wall, 2),
+        "urls_per_sec": round(n_visits / wall, 1),
+    }
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from colly_spark.session import build_session
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session("colly-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_domains = int(os.environ.get("BENCH_DOMAINS", "100"))
+    ppd = int(os.environ.get("BENCH_PAGES_PER_DOMAIN", "1000"))
+    crawl = crawl_bench(spark, n_domains, ppd)
+
+    qtimes: dict[str, float] = {}
+    items = {} if os.environ.get("BENCH_SKIP_QUERIES") else entrymod.queries()
+    for name, fn in items.items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "frontier_urls_per_sec_fetch_scheduled",
+                "value": crawl["urls_per_sec"],
+                "unit": "urls/sec",
+                "crawl": crawl,
+                "queries": qtimes,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

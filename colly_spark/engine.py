@@ -1,0 +1,579 @@
+"""The batch-iterative crawl engine: colly's Collector as a driver round loop
+over state tables (SURVEY.md §3.4).
+
+Per round, one Catalyst-optimized submission plan runs the full requestCheck
+pipeline set-wise (F1 canonicalize -> F2 hash -> F3/F4 static gates -> F6
+robots -> F5 seen dedup -> enqueue sequencing), then the scheduler splits the
+FIFO frontier under per-domain politeness tokens (S1/S2), the fetch stage
+resolves redirects and joins the synthetic web (X1/X3), and the parse stage
+extracts links + image/caption pairs feeding the next round (P1-P11). Every
+table append is checkpointed through :class:`colly_spark.statestore.StateStore`
+so any round is resumable.
+
+The produced dispatch order (``fetch_seq``) and url_seen set are asserted
+equal to the serial golden simulator (:mod:`colly_spark.simulator`) — the
+north rule's equality clause. All sequencing derives from data (enqueue
+order tuples), never from partition or task ids, so results are identical at
+any parallelism.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from colly_spark import schemas
+from colly_spark.config import CrawlConfig
+from colly_spark.operators import parse as parse_op
+from colly_spark.operators import payload as payload_op
+from colly_spark.operators import robots as robots_op
+from colly_spark.operators import schedule as sched_op
+from colly_spark.operators.fetch import make_fetch_exec, make_resolver_udf
+from colly_spark.operators.filters import static_filter_kind
+from colly_spark.operators.seq import with_ordered_counts
+from colly_spark.statestore import StateStore
+from colly_spark.urlkit import register_udfs
+
+GET = "GET"
+
+# internal candidate schema (pre-acceptance); FRONTIER = accepted superset
+CANDIDATES = StructType(
+    [
+        StructField("url_raw", StringType()),
+        StructField("depth", IntegerType()),
+        StructField("method", StringType()),
+        StructField("body", BinaryType()),
+        StructField("ctx", MapType(StringType(), StringType())),
+        StructField("parent_url", StringType()),
+        StructField("parent_seq", LongType()),
+        StructField("sel_idx", IntegerType()),
+        StructField("elem_idx", IntegerType()),
+        StructField("link_idx", IntegerType()),
+        StructField("skip_seen_check", BooleanType()),
+    ]
+)
+
+ORDER_COLS = ["parent_seq", "sel_idx", "elem_idx", "link_idx"]
+
+STATE_SCHEMAS = {
+    "url_seen": schemas.URL_SEEN,
+    "robots_cache": schemas.ROBOTS_CACHE,
+    "visits": schemas.VISITS,
+    "errors": schemas.ERRORS,
+    "results": schemas.RESULTS,
+    "lineage": schemas.LINEAGE,
+    "pending": schemas.FRONTIER,
+    "candidates": CANDIDATES,
+}
+
+
+@dataclass
+class RoundStats:
+    round: int
+    submitted: int
+    accepted: int
+    dispatched: int
+    deferred: int
+    children: int
+    t_submit: float = 0.0
+    t_dispatch: float = 0.0
+    t_fetch: float = 0.0
+    t_parse: float = 0.0
+    t_commit: float = 0.0
+
+
+class Crawler:
+    """Collector facade over the round-based dataflow (U1/U2 surface)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: CrawlConfig,
+        pages: DataFrame,
+        images: DataFrame,
+        robots: DataFrame | None = None,
+        checkpoint_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.pages = pages
+        self.images = images
+        self.robots_fixture = robots if robots is not None else spark.createDataFrame(
+            [], schema=schemas.ROBOTS_FIXTURE
+        )
+        self.store = StateStore(
+            spark, STATE_SCHEMAS, checkpoint_dir, replace_tables=("pending", "candidates")
+        )
+        self.url_parts_udf, _ = register_udfs()
+        self.rule_idx_udf = sched_op.make_rule_idx_udf(cfg)
+        self.robots_kind_fn = robots_op.robots_gate_kind(cfg.user_agent)
+        self.validate_udf = payload_op.make_validate_udf()
+        self.extract_udf = parse_op.make_extract_udf()
+        # redirect edges are a tiny fraction of the web; broadcast resolver.
+        # (an iterative hop-join fallback belongs here if that stops holding)
+        redirect_rows = (
+            pages.where(F.col("redirect_to").isNotNull())
+            .select("url", "redirect_to")
+            .collect()
+        )
+        self.resolver_udf = make_resolver_udf(
+            spark, cfg, {r["url"]: r["redirect_to"] for r in redirect_rows}
+        )
+        self.stats: list[RoundStats] = []
+        self._pins: list[DataFrame] = []
+
+    # ------------------------------------------------------------------
+    def run(self, seeds: list[dict] | DataFrame, max_rounds: int | None = None) -> dict:
+        limit = max_rounds if max_rounds is not None else self.cfg.max_rounds
+        start_round = self.store.completed_round + 1
+        if start_round == 0:
+            seeds_df = self._seed_candidates(seeds)
+            self.store.replace("candidates", seeds_df, -1)
+            self.store.counters = {"built": 0, "fetched": 0}
+        rnd = start_round
+        first = True
+        while rnd < limit:
+            new_cands = self.store.get("candidates")
+            pending = self.store.get("pending")
+            if first:
+                # one-time emptiness probe (fresh start / resume); afterwards
+                # the previous round's own counts drive termination — no
+                # extra actions per round
+                if _is_empty(new_cands) and _is_empty(pending):
+                    break
+                first = False
+            elif self.stats and self.stats[-1].children == 0 and self.stats[-1].deferred == 0:
+                break
+            self._run_round(new_cands, pending, rnd)
+            rnd += 1
+        self._flush_pins(final=True)
+        return {
+            "visits": self.store.get("visits"),
+            "errors": self.store.get("errors"),
+            "results": self.store.get("results"),
+            "url_seen": self.store.get("url_seen"),
+            "lineage": self.store.get("lineage"),
+            "robots_cache": self.store.get("robots_cache"),
+        }
+
+    def _seed_candidates(self, seeds) -> DataFrame:
+        if isinstance(seeds, DataFrame):
+            # SEEDS-schema DataFrame: stays distributed (10^10-frontier path —
+            # a seed list must never funnel through the driver)
+            return seeds.select(
+                F.col("url").alias("url_raw"),
+                F.lit(1).alias("depth"),
+                F.coalesce("method", F.lit(GET)).alias("method"),
+                F.col("body"),
+                F.coalesce(
+                    F.col("ctx").cast("map<string,string>"),
+                    F.create_map().cast("map<string,string>"),
+                ).alias("ctx"),
+                F.lit(None).cast("string").alias("parent_url"),
+                F.lit(-1).cast("long").alias("parent_seq"),
+                F.lit(-1).alias("sel_idx"),
+                F.col("seed_seq").cast("int").alias("elem_idx"),
+                F.col("seed_seq").cast("int").alias("link_idx"),
+                F.lit(None).cast("boolean").alias("skip_seen_check"),
+            )
+        rows = seeds
+        data = [
+            (
+                s["url"], 1, s.get("method", GET), s.get("body"), s.get("ctx") or {},
+                None, -1, -1, int(s.get("seed_seq", i)), int(s.get("seed_seq", i)), None,
+            )
+            for i, s in enumerate(rows)
+        ]
+        return self.spark.createDataFrame(data, schema=CANDIDATES)
+
+    # ------------------------------------------------------------------
+    def _run_round(self, new_cands: DataFrame, pending: DataFrame, rnd: int) -> None:
+        import time as _time
+
+        _t0 = _time.time()
+        cfg, spark = self.cfg, self.spark
+        built = self.store.counters.get("built", 0)
+        fetched = self.store.counters.get("fetched", 0)
+
+        # ---------------- submission: F1..F5 as one plan ----------------
+        c = new_cands.withColumn("__p", self.url_parts_udf("url_raw"))
+        c = c.select("*", "__p.canon_url", "__p.domain", "__p.path_query").drop("__p")
+        c = c.withColumn(
+            "url_hash",
+            F.xxhash64(F.coalesce("canon_url", F.lit("")), F.coalesce("body", F.lit(b""))),
+        )
+        c = c.withColumn("rule_idx", self.rule_idx_udf("domain"))
+        c = c.withColumn("__static_kind", static_filter_kind(cfg, F.col("canon_url"), F.col("domain")))
+        # one materialization of the UDF chain: the robots cache-fill branch,
+        # the range-partitioner sampling pass and the seq sort all read this
+        c = c.persist()
+        self._pins.append(c)
+        depth_bad = (
+            (F.lit(cfg.max_depth) > 0) & (F.col("depth") > cfg.max_depth)
+        )
+        pre_ok = F.col("canon_url").isNotNull() & ~depth_bad & F.col("__static_kind").isNull()
+
+        # F6 robots: fill cache from hosts surviving the cheap filters
+        if not cfg.ignore_robots_txt:
+            new_cache = robots_op.fill_robots_cache(
+                c.where(pre_ok).select("domain"),
+                self.store.get("robots_cache"),
+                self.robots_fixture,
+                rnd,
+            )
+            self.store.stage_append("robots_cache", new_cache, rnd)
+            cache = self.store.get("robots_cache")
+            c = c.join(
+                F.broadcast(cache.select("host", "robots_body", "fetch_failed")),
+                c.domain == F.col("host"),
+                "left",
+            ).drop("host")
+            c = c.withColumn(
+                "__robots_kind",
+                self.robots_kind_fn(
+                    F.col("robots_body"), F.col("path_query"),
+                    F.coalesce("fetch_failed", F.lit(False)), F.col("method"),
+                ),
+            ).drop("robots_body", "fetch_failed")
+            pre_ok = pre_ok & F.col("__robots_kind").isNull()
+        else:
+            c = c.withColumn("__robots_kind", F.lit(None).cast("string"))
+
+        # F5 seen: cross-round flag + intra-batch first-wins (window by hash)
+        seen_tbl = self.store.get("url_seen").select("url_hash").distinct()
+        c = c.join(
+            seen_tbl.withColumn("__seen_prev", F.lit(True)), on="url_hash", how="left"
+        ).withColumn("__seen_prev", F.coalesce("__seen_prev", F.lit(False)))
+        checkable = (
+            F.lit(not cfg.allow_url_revisit)
+            & ~F.coalesce(F.col("skip_seen_check"), F.lit(False))
+            # quirk colly.go:794-796: non-GET with nil body skips the check
+            & ((F.col("method") == GET) | F.col("body").isNotNull())
+        )
+        flag_a = pre_ok & ~checkable  # always-eligible (skip seen check)
+        flag_b = pre_ok & checkable & ~F.col("__seen_prev")
+        wprior = (
+            Window.partitionBy("url_hash")
+            .orderBy(*ORDER_COLS)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        c = c.withColumn("__prior_marked",
+                         F.coalesce(F.sum((flag_a | flag_b).cast("long")).over(wprior), F.lit(0)))
+        dup = checkable & (F.col("__prior_marked") > 0)
+        eligible = (flag_a | flag_b) & ~dup
+        c = c.withColumn("__eligible", eligible)
+
+        # global submission order -> dense enqueue_seq (colly Request.ID)
+        c, tot = with_ordered_counts(c, ORDER_COLS, ["__eligible"],
+                                     num_partitions=cfg.shuffle_partitions,
+                                     return_totals=True)
+        el_before = F.col("__eligible_before")
+        budget_full = (
+            F.lit(cfg.max_requests > 0) & (F.lit(built) + el_before >= F.lit(cfg.max_requests or 0))
+        )
+        deferred_prev = self.store.counters.get("pending", 0)
+        queue_full = (
+            F.lit(cfg.max_queue_size > 0)
+            & (F.lit(deferred_prev) + el_before >= F.lit(cfg.max_queue_size or 0))
+        )
+        accepted = F.col("__eligible") & ~budget_full & ~queue_full
+        marked = F.col("__eligible") & ~budget_full  # queue-full rows ARE marked seen
+        # requestCheck attribution order (colly.go:774-818)
+        error_kind = (
+            F.when(F.col("canon_url").isNull(), "ErrURLParse")
+            .when(depth_bad, "ErrMaxDepth")
+            .when(budget_full, "ErrMaxRequests")
+            .when(F.col("__static_kind").isNotNull(), F.col("__static_kind"))
+            .when(F.col("__robots_kind").isNotNull(), F.col("__robots_kind"))
+            .when(checkable & (F.col("__seen_prev") | (F.col("__prior_marked") > 0)),
+                  "AlreadyVisited")
+            .when(queue_full, "ErrQueueFull")
+            .otherwise(F.lit(None).cast("string"))
+        )
+        c = (
+            c.withColumn("__accepted", accepted)
+            .withColumn("__marked", marked)
+            .withColumn("error_kind", error_kind)
+            .withColumn(
+                "enqueue_seq",
+                F.when(accepted, el_before + F.lit(built)).cast("long"),
+            )
+            .persist()
+        )
+        # all counts fall out of the sequencing collect — no extra jobs
+        n_submitted = tot["__rows"]
+        n_eligible = tot["__eligible"]
+        k_budget = (cfg.max_requests - built) if cfg.max_requests else n_eligible
+        k_queue = (cfg.max_queue_size - deferred_prev) if cfg.max_queue_size else n_eligible
+        n_accepted = max(0, min(n_eligible, k_budget, k_queue))
+        _t1 = _time.time()
+
+        self.store.stage_append(
+            "errors",
+            c.where(F.col("error_kind").isNotNull()).select(
+                F.lit(None).cast("long").alias("enqueue_seq"),
+                F.coalesce("canon_url", "url_raw").alias("url"),
+                "depth",
+                "error_kind",
+                F.lit(0).alias("status"),
+                F.lit(rnd).alias("round"),
+            ),
+            rnd,
+        )
+        self.store.stage_append(
+            "url_seen",
+            c.where("__marked").select(
+                "url_hash",
+                F.pmod(F.xxhash64("domain"), F.lit(cfg.seen_bloom_partitions))
+                .cast("int").alias("domain_hash"),
+                F.lit(rnd).alias("round_added"),
+            ),
+            rnd,
+        )
+
+        accepted_df = c.where("__accepted").select(
+            "url_raw", "canon_url", "domain", "path_query", "url_hash", "depth",
+            "method", "body", "ctx", "parent_url", "parent_seq", "sel_idx",
+            "elem_idx", "link_idx",
+            F.coalesce(F.col("skip_seen_check"), F.lit(False)).alias("skip_seen_check"),
+            "rule_idx", "enqueue_seq", F.lit(rnd).alias("round"),
+        )
+
+        # ---------------- dispatch: S1 FIFO + S2 politeness ----------------
+        frontier = pending.unionByName(accepted_df)
+        dispatch, deferred = sched_op.split_dispatch(frontier, cfg)
+        dispatch, dtot = with_ordered_counts(
+            dispatch.withColumn("__one", F.lit(True)),
+            ["enqueue_seq"], ["__one"], num_partitions=cfg.shuffle_partitions,
+            return_totals=True,
+        )
+        dispatch = dispatch.withColumn(
+            "fetch_seq", F.col("__one_before") + F.lit(fetched)
+        ).drop("__one", "__one_before").persist()
+        n_dispatch = dtot["__one"]
+        _t2 = _time.time()
+        self.store.replace("pending", deferred, rnd)
+        n_deferred = deferred_prev + n_accepted - n_dispatch
+
+        # ---------------- fetch: X3 redirects + X1 content join ------------
+        d = dispatch.withColumn("__r", self.resolver_udf("canon_url"))
+        d = d.select("*", "__r.final_url", "__r.hops", "__r.is_cycle", "__r.abort_kind").drop("__r")
+        seen_now = self.store.get("url_seen").select("url_hash").distinct()
+        hops = (
+            d.select("fetch_seq", F.posexplode_outer("hops").alias("hop_idx", "hop_url"))
+            .where(F.col("hop_url").isNotNull())
+            .withColumn("hop_hash", F.xxhash64("hop_url", F.lit(b"")))
+        )
+        whop = (
+            Window.partitionBy("hop_hash")
+            .orderBy("fetch_seq", "hop_idx")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        hops = (
+            hops.join(seen_now.withColumn("__sp", F.lit(True)),
+                      hops.hop_hash == seen_now.url_hash, "left")
+            .drop("url_hash")
+            .withColumn("__conflict",
+                        F.coalesce("__sp", F.lit(False)) | (F.count(F.lit(1)).over(whop) > 0))
+        )
+        aborts = (
+            hops.where("__conflict")
+            .groupBy("fetch_seq")
+            .agg(F.min("hop_idx").alias("abort_idx"))
+        )
+        hops_marked = (
+            hops.join(aborts, "fetch_seq", "left")
+            .where(F.col("abort_idx").isNull() | (F.col("hop_idx") < F.col("abort_idx")))
+            .select(
+                F.col("hop_hash").alias("url_hash"),
+                F.lit(0).cast("int").alias("domain_hash"),
+                F.lit(rnd).alias("round_added"),
+            )
+        )
+        self.store.stage_append("url_seen", hops_marked, rnd)
+        d = d.join(aborts, "fetch_seq", "left")
+        d = d.withColumn(
+            "__effective_url",
+            F.when(
+                F.col("abort_idx").isNotNull(),
+                F.when(F.col("abort_idx") == 0, F.col("canon_url")).otherwise(
+                    F.element_at("hops", F.col("abort_idx").cast("int"))
+                ),
+            ).otherwise(F.col("final_url")),
+        )
+        d = d.withColumn(
+            "__abort_kind2",
+            F.when(F.col("abort_idx").isNotNull(), F.lit("AlreadyVisited")).otherwise(
+                F.col("abort_kind")
+            ),
+        )
+
+        page_cols = self.pages.select(
+            F.col("url").alias("__pu"),
+            F.col("status").alias("page_status"),
+            F.col("content_type").alias("page_content_type"),
+            F.col("body").alias("page_body"),
+            F.col("base_href").alias("page_base_href"),
+            F.col("image_refs").alias("page_image_refs"),
+            F.col("serve_delay_ms").alias("serve_delay_ms"),
+        )
+        d = d.join(
+            page_cols, F.col("__effective_url") == F.col("__pu"), "left"
+        ).drop("__pu")
+
+        # X1 fetch executor over the salted domain-keyed batch (S4)
+        target = max(64, n_dispatch // max(cfg.shuffle_partitions, 1) or 1)
+        d = sched_op.salted_repartition(d, cfg.shuffle_partitions, target)
+        exec_fn, exec_schema = make_fetch_exec(cfg, d.schema)
+        d = d.mapInPandas(exec_fn, schema=exec_schema).persist()
+
+        status = F.coalesce("page_status", F.lit(0))
+        visits = d.select(
+            "fetch_seq", "enqueue_seq",
+            F.col("canon_url").alias("url"), "url_hash", "domain", "depth",
+            status.alias("status"), "fetch_ms", F.lit(rnd).alias("round"),
+        )
+        self.store.stage_append("visits", visits, rnd)
+        self.store.stage_append(
+            "lineage",
+            d.groupBy(F.col("fetch_partition").alias("partition")).agg(
+                F.count(F.lit(1)).alias("urls_in"),
+                F.count(F.lit(1)).alias("urls_out"),
+                F.sum("fetch_ms").alias("fetch_ms"),
+            ).select(F.lit(rnd).alias("round"), "partition", F.lit("fetch").alias("stage"),
+                     "urls_in", "urls_out", "fetch_ms"),
+            rnd,
+        )
+
+        aborted = F.col("__abort_kind2").isNotNull()
+        fetch_errors = d.where(
+            aborted | F.col("page_status").isNull() | (status >= 300)
+        ).select(
+            "enqueue_seq",
+            F.col("canon_url").alias("url"),
+            "depth",
+            F.when(aborted, F.col("__abort_kind2"))
+            .when(F.col("page_status").isNull(), "ErrFetch")
+            .otherwise(F.concat(F.lit("HTTPError"), status)).alias("error_kind"),
+            status.alias("status"),
+            F.lit(rnd).alias("round"),
+        )
+        self.store.stage_append("errors", fetch_errors, rnd)
+        _t3 = _time.time()
+
+        # ---------------- parse: P1-P11 ----------------
+        parse_ok = (
+            ~aborted
+            & F.col("page_status").isNotNull()
+            & ((status < 300) | F.lit(cfg.parse_http_error_response))
+        )
+        parsed = (
+            d.where(parse_ok)
+            .withColumn(
+                "__m",
+                self.extract_udf("page_body", "page_content_type", "__effective_url",
+                                 "page_base_href"),
+            )
+            .select(
+                "fetch_seq", "depth", "ctx", "__effective_url", "url_hash",
+                F.explode("__m").alias("m"),
+            )
+            .persist()
+        )
+        children = parsed.where(F.col("m.kind") == "link").select(
+            F.col("m.value").alias("url_raw"),
+            (F.col("depth") + 1).alias("depth"),
+            F.lit(GET).alias("method"),
+            F.lit(None).cast("binary").alias("body"),
+            F.col("ctx").alias("ctx"),
+            F.col("__effective_url").alias("parent_url"),
+            F.col("fetch_seq").alias("parent_seq"),
+            F.col("m.sel_idx").alias("sel_idx"),
+            F.col("m.elem_idx").alias("elem_idx"),
+            F.col("m.elem_idx").alias("link_idx"),
+            F.lit(None).cast("boolean").alias("skip_seen_check"),
+        )
+        self.store.replace("candidates", children, rnd)
+        n_children = _count(self.store.get("candidates"))
+
+        image_rows = parsed.where(F.col("m.kind") == "image").select(
+            "fetch_seq", "depth", "__effective_url",
+            F.col("m.value").alias("image_id"),
+            F.col("m.extra").alias("caption_parsed"),
+        )
+        img = self.images.select(
+            F.col("image_id").alias("__iid"), "bytes", "w", "h", "fmt",
+            F.col("caption").alias("caption_ref"), "phash",
+        )
+        # plain key join: the payload table is the ~100 TB side at scale —
+        # never broadcast it; AQE broadcasts automatically when it IS small
+        results = (
+            image_rows.join(img, image_rows.image_id == F.col("__iid"), "left")
+            .withColumn(
+                "__v",
+                self.validate_udf("bytes", "image_id", "w", "h", "fmt", "phash",
+                                  "caption_parsed", "caption_ref"),
+            )
+            .join(d.select("fetch_seq", F.coalesce("page_status", F.lit(0)).alias("status")),
+                  "fetch_seq")
+            .select(
+                "fetch_seq", F.col("__effective_url").alias("url"), "depth", "status",
+                "image_id", F.col("caption_parsed").alias("caption"),
+                F.col("__v.payload_ok").alias("payload_ok"),
+                F.col("__v.psnr_db").alias("psnr_db"), F.lit(rnd).alias("round"),
+            )
+        )
+        self.store.stage_append("results", results, rnd)
+        _t4 = _time.time()
+
+        # ---------------- commit ----------------
+        # iteratively-read state gets its Catalyst lineage truncated every
+        # round; append-only output tables only every few rounds (they are
+        # read at the end, not inside the loop), with their upstream
+        # intermediates pinned in cache until that flush
+        self.store.compact(["url_seen", "pending", "candidates", "robots_cache"])
+        self._pins.extend([c, dispatch, d, parsed])
+        if len(self._pins) >= 16:
+            self._flush_pins()
+        self.store.commit_round(
+            rnd,
+            {"built": built + n_accepted, "fetched": fetched + n_dispatch,
+             "pending": n_deferred},
+        )
+        _t5 = _time.time()
+        self.stats.append(
+            RoundStats(
+                rnd, n_submitted, n_accepted, n_dispatch, n_deferred, n_children,
+                t_submit=round(_t1 - _t0, 2), t_dispatch=round(_t2 - _t1, 2),
+                t_fetch=round(_t3 - _t2, 2), t_parse=round(_t4 - _t3, 2),
+                t_commit=round(_t5 - _t4, 2),
+            )
+        )
+
+    def _flush_pins(self, final: bool = False) -> None:
+        """Checkpoint output tables, then release pinned per-round caches."""
+        if not self._pins and not final:
+            return
+        self.store.compact(["visits", "errors", "results", "lineage"])
+        for df in self._pins:
+            df.unpersist()
+        self._pins = []
+
+
+def _count(df: DataFrame) -> int:
+    return df.count()
+
+
+def _is_empty(df: DataFrame) -> bool:
+    return df.isEmpty()

@@ -1,0 +1,80 @@
+"""Text analysis over a documents table: token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+Everything is built-in ``pyspark.sql.functions`` (JVM-side, codegen'd) — no
+Python in the hot path. Each op has an exact ANSI-SQL oracle (DuckDB) wired
+in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# small English function-word list for the stopword-ratio heuristic
+EN_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that for on as",
+)
+STOPWORD_LIST = EN_STOPWORDS[0].split()
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization (the BPE-ish regex split)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(words(text))
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    w = words(text)
+    hits = F.size(F.filter(w, lambda x: x.isin(STOPWORD_LIST)))
+    return (hits / F.greatest(F.size(w), F.lit(1))).cast("double")
+
+
+def punct_ratio(text: Column) -> Column:
+    no_punct = F.regexp_replace(text, r"[^\w\s]", "")
+    return (
+        (F.length(text) - F.length(no_punct))
+        / F.greatest(F.length(text), F.lit(1))
+    ).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    function-word presence (the standard cheap pre-filter for LM corpora)."""
+    n = token_count(text)
+    len_ok = F.when((n >= 10) & (n <= 5000), 1.0).otherwise(0.3)
+    p = punct_ratio(text)
+    punct_ok = F.when(p < 0.2, 1.0).otherwise(0.5)
+    sw = stopword_ratio(text)
+    sw_ok = F.when(sw > 0.05, 1.0).otherwise(0.4)
+    return ((len_ok + punct_ok + sw_ok) / F.lit(3.0)).cast("double")
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-hit language heuristic (en vs unknown — the fixture corpus is
+    synthetic English-like; the shape generalizes to per-language lists)."""
+    return F.when(stopword_ratio(text) > 0.02, F.lit("en")).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the case/whitespace
+    normalized text (portable across engines, unlike xxhash seeds)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def analyze(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars_actual"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(quality_score(t), 6).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fp"),
+    )

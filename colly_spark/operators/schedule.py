@@ -1,0 +1,99 @@
+"""S1/S2/S4: FIFO dispatch ordering, per-domain politeness token windows,
+domain-keyed repartitioning with hot-domain salting.
+
+Reference semantics:
+- strict FIFO dispatch (queue/queue.go:160-205): our total order is
+  ``enqueue_seq`` (dense submission order, = colly's Request.ID counter
+  colly.go:705);
+- per-domain LimitRule (http_backend.go:52-107): a domain group with
+  Parallelism P and Delay D sustains at most ``tokens_for_rule`` fetches per
+  round of wall-budget; first-match-wins rule selection by registration
+  order (http_backend.go:143-155);
+- S4/north rule: the fetch batch is repartitioned by (domain, salt) where
+  hot domains are split so no partition's fetch budget exceeds ~2x the
+  median (skew clause).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import IntegerType
+
+from colly_spark.config import CrawlConfig, match_rule_idx, tokens_for_rule
+
+
+def make_rule_idx_udf(cfg: CrawlConfig):
+    """domain -> first-matching LimitRule index (-1 = none), vectorized.
+    Caches per distinct domain within each Arrow batch."""
+    rules = cfg.limit_rules
+
+    def match_pd(domain: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def one(d):
+            if d is None:
+                return -1
+            if d not in cache:
+                cache[d] = match_rule_idx(d, rules)
+            return cache[d]
+
+        return domain.map(one).astype("int32")
+
+    return F.pandas_udf(match_pd, IntegerType())
+
+
+def tokens_map_expr(cfg: CrawlConfig):
+    """rule_idx -> per-round token cap, as a literal CASE expression
+    (rules are plan constants, not data)."""
+    expr = F.lit(tokens_for_rule(None, cfg.round_budget_ms, cfg.service_est_ms))
+    out = None
+    for idx in reversed(range(len(cfg.limit_rules))):
+        t = tokens_for_rule(cfg.limit_rules[idx], cfg.round_budget_ms, cfg.service_est_ms)
+        out = F.when(F.col("rule_idx") == idx, F.lit(t)).otherwise(
+            out if out is not None else expr
+        )
+    return out if out is not None else expr
+
+
+def split_dispatch(pending: DataFrame, cfg: CrawlConfig) -> tuple[DataFrame, DataFrame]:
+    """(dispatch_now, deferred): per-domain FIFO prefix of size tokens.
+
+    Window is partitioned by domain — a hash shuffle on the politeness key,
+    never a global sort. Leftovers stay in the frontier for later rounds
+    (this is what makes visit order politeness-dependent, per the north
+    rule's "same politeness budget" clause).
+    """
+    if not cfg.limit_rules:
+        return pending, pending.limit(0)
+    w = Window.partitionBy("domain").orderBy("enqueue_seq")
+    ranked = pending.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__tokens", tokens_map_expr(cfg)
+    )
+    dispatch = ranked.where(F.col("__rn") <= F.col("__tokens")).drop("__rn", "__tokens")
+    deferred = ranked.where(F.col("__rn") > F.col("__tokens")).drop("__rn", "__tokens")
+    return dispatch, deferred
+
+
+def salted_repartition(
+    batch: DataFrame, num_partitions: int, target_per_bucket: int
+) -> DataFrame:
+    """Domain-keyed repartition with explicit skew splitting: a domain with
+    cnt rows is split into ceil(cnt/target) salt buckets keyed by url_hash,
+    so no single partition carries a hot domain's whole fetch budget
+    (north rule: max executor budget <= 2x median). AQE skew-join handling
+    is the backstop; this makes the fetch stage balanced by construction."""
+    w = Window.partitionBy("domain")
+    out = (
+        batch.withColumn("__cnt", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "__salt",
+            F.pmod(
+                F.col("url_hash"),
+                F.greatest(F.lit(1), F.ceil(F.col("__cnt") / F.lit(target_per_bucket))),
+            ).cast("int"),
+        )
+        .repartition(num_partitions, "domain", "__salt")
+        .drop("__cnt", "__salt")
+    )
+    return out

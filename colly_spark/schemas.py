@@ -52,6 +52,7 @@ FRONTIER = _s(
     StructField("elem_idx", IntegerType()),
     StructField("link_idx", IntegerType()),
     StructField("skip_seen_check", BooleanType()),
+    StructField("rule_idx", IntegerType()),
     StructField("enqueue_seq", LongType()),
     StructField("round", IntegerType()),
 )

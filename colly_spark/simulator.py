@@ -53,7 +53,8 @@ class SimResult:
     visits: list[dict] = field(default_factory=list)  # dispatch order
     errors: list[dict] = field(default_factory=list)
     results: list[dict] = field(default_factory=list)  # image+caption rows
-    url_seen: set = field(default_factory=set)
+    url_seen: set = field(default_factory=set)  # canonical URLs
+    seen_keys: set = field(default_factory=set)  # (canon_url, body) identity
     rounds: int = 0
 
     @property
@@ -259,6 +260,7 @@ def simulate(site: Site, seeds: list[dict], cfg: CrawlConfig, max_rounds: int | 
         rnd += 1
 
     res.rounds = rnd
+    res.seen_keys = set(seen)
     res.url_seen = {k[0] for k in seen}
     return res
 

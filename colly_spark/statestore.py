@@ -1,0 +1,162 @@
+"""Checkpointed state tables (frontier, url_seen, robots_cache, visits,
+errors, results, lineage) with atomic per-round commits and resume.
+
+The design target is Iceberg (snapshot-per-round, MERGE/append, time travel);
+this sandbox has no iceberg-spark-runtime jar, so the same contract is kept
+behind a thin interface (SURVEY.md §7.2): parquet round-directories plus a
+JSON manifest that is rewritten atomically (tmp + rename) only after every
+table of the round is fully written. Crash between writes -> orphan round
+dirs beyond ``completed_round`` are dropped on resume, exactly like an
+uncommitted Iceberg snapshot. Swapping in Iceberg later touches only this
+module.
+
+Memory mode (tests/bench) keeps DataFrames in-process and truncates the
+iterative lineage each round with ``localCheckpoint`` — the standard guard
+against Catalyst-plan blowup in round-based Spark jobs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _round_of(subdir: str) -> int | None:
+    """round number encoded in a 'round={r}' or 'round={r}__s{k}' dir name."""
+    if not subdir.startswith("round="):
+        return None
+    return int(subdir.split("=")[1].split("__")[0])
+
+
+class StateStore:
+    def __init__(
+        self,
+        spark: SparkSession,
+        schemas: dict,
+        checkpoint_dir: str | None = None,
+        replace_tables: tuple[str, ...] = (),
+    ):
+        self.spark = spark
+        self.schemas = schemas
+        self.dir = checkpoint_dir
+        self.replace_tables = set(replace_tables)
+        self.tables: dict[str, DataFrame] = {}
+        self.completed_round = -1
+        self.counters: dict[str, int] = {}
+        self._stage_seq: dict[tuple[str, int], int] = {}
+        if self.dir:
+            os.makedirs(self.dir, exist_ok=True)
+            self._load_manifest()
+
+    # ---------------- manifest ----------------
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.dir, "manifest.json")
+
+    def _load_manifest(self) -> None:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                m = json.load(f)
+            self.completed_round = m["completed_round"]
+            self.counters = m["counters"]
+            self._drop_uncommitted()
+            for name in self.schemas:
+                self.tables[name] = self._read_table(name)
+
+    def _drop_uncommitted(self) -> None:
+        for name in self.schemas:
+            tdir = os.path.join(self.dir, name)
+            if not os.path.isdir(tdir):
+                continue
+            for sub in os.listdir(tdir):
+                r = _round_of(sub)
+                if r is not None and r > self.completed_round:
+                    shutil.rmtree(os.path.join(tdir, sub))
+
+    def _read_table(self, name: str) -> DataFrame:
+        tdir = os.path.join(self.dir, name)
+        empty = self.spark.createDataFrame([], schema=self.schemas[name])
+        if not os.path.isdir(tdir) or not os.listdir(tdir):
+            return empty
+        if name in self.replace_tables:  # only the newest committed snapshot is live
+            rounds = [
+                r
+                for r in (_round_of(s) for s in os.listdir(tdir))
+                if r is not None and r <= self.completed_round
+            ]
+            if not rounds:
+                return empty
+            live = max(rounds)
+            return self.spark.read.schema(self.schemas[name]).parquet(
+                os.path.join(tdir, f"round={live}")
+            )
+        return self.spark.read.schema(self.schemas[name]).parquet(
+            os.path.join(tdir, "round=*")
+        )
+
+    # ---------------- table ops ----------------
+
+    def get(self, name: str) -> DataFrame:
+        if name not in self.tables:
+            self.tables[name] = self.spark.createDataFrame([], schema=self.schemas[name])
+        return self.tables[name]
+
+    def stage_append(self, name: str, df: DataFrame, round_no: int) -> None:
+        """Write (disk) / union (memory) this round's rows for ``name``.
+        Not visible to a resumed run until :meth:`commit_round`."""
+        cols = [f.name for f in self.schemas[name].fields]
+        df = df.select(*cols)
+        if self.dir:
+            # a round may stage several appends to one table (e.g. url_seen:
+            # submission marks then redirect-hop marks). Each gets its own
+            # subdir: never overwrite a path a sibling plan is still reading.
+            k = self._stage_seq.get((name, round_no), 0)
+            self._stage_seq[(name, round_no)] = k + 1
+            path = os.path.join(self.dir, name, f"round={round_no}__s{k}")
+            df.write.mode("overwrite").parquet(path)
+            self.tables[name] = self._read_table(name)
+        else:
+            self.tables[name] = self.get(name).unionByName(df)
+
+    def replace(self, name: str, df: DataFrame, round_no: int) -> None:
+        """Full-replace semantics (the pending frontier snapshot)."""
+        cols = [f.name for f in self.schemas[name].fields]
+        df = df.select(*cols)
+        if self.dir:
+            tdir = os.path.join(self.dir, name)
+            path = os.path.join(tdir, f"round={round_no}")
+            df.write.mode("overwrite").parquet(path)
+            # replace = only the newest round dir is live
+            self.tables[name] = self.spark.read.schema(self.schemas[name]).parquet(path)
+        else:
+            self.tables[name] = df
+
+    def compact(self, names: list[str]) -> None:
+        """Truncate Catalyst lineage of iterative tables (memory mode)."""
+        if self.dir:
+            return
+        for name in names:
+            if name in self.tables:
+                self.tables[name] = self.tables[name].localCheckpoint(eager=True)
+
+    def commit_round(self, round_no: int, counters: dict[str, int]) -> None:
+        self.completed_round = round_no
+        self.counters = dict(counters)
+        if not self.dir:
+            return
+        for name in self.schemas:
+            tdir = os.path.join(self.dir, name)
+            if os.path.isdir(tdir):
+                for sub in os.listdir(tdir):
+                    r = _round_of(sub)
+                    if r is not None and r > round_no:
+                        shutil.rmtree(os.path.join(tdir, sub))
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"completed_round": round_no, "counters": self.counters}, f)
+        os.replace(tmp, self._manifest_path)  # atomic commit

@@ -1,0 +1,205 @@
+"""End-to-end parity: the distributed engine's visit order, URL-seen set,
+error rows and image results must EQUAL the serial golden simulator's under
+the same seed list and politeness budget — the north rule's equality clause.
+
+Each scenario is a port of a reference test (FIXTURES.md §7 matrix)."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from colly_spark.config import CrawlConfig, LimitRule
+from colly_spark.engine import Crawler
+from colly_spark.fixtures import SiteSpec, build_site, make_seeds, site_to_spark
+from colly_spark.simulator import simulate
+
+SPEC = SiteSpec(n_domains=2, pages_per_domain=8)
+SITE = build_site(SPEC)
+
+
+@pytest.fixture(scope="module")
+def tabs(spark):
+    t = site_to_spark(spark, SITE)
+    return {k: v.cache() for k, v in t.items()}
+
+
+def run_compare(spark, tabs, seeds, cfg, max_rounds=12, site=SITE,
+                checkpoint_dir=None, check_seen=True):
+    cr = Crawler(spark, cfg, tabs["pages"], tabs["images"], tabs["robots"],
+                 checkpoint_dir=checkpoint_dir)
+    out = cr.run(seeds, max_rounds=max_rounds)
+    sim = simulate(site, seeds, cfg, max_rounds=max_rounds)
+
+    eng_visits = [
+        (r["fetch_seq"], r["url"], r["depth"], r["round"])
+        for r in out["visits"].orderBy("fetch_seq").collect()
+    ]
+    sim_visits = [(v["fetch_seq"], v["url"], v["depth"], v["round"]) for v in sim.visits]
+    assert eng_visits == sim_visits, (
+        f"visit order mismatch:\nengine={eng_visits}\nsim   ={sim_visits}"
+    )
+
+    eng_err = Counter((r["url"], r["error_kind"]) for r in out["errors"].collect())
+    sim_err = Counter((e["url"], e["error_kind"]) for e in sim.errors)
+    assert eng_err == sim_err
+
+    if check_seen:
+        eng_seen = {r["url_hash"] for r in out["url_seen"].collect()}
+        exp = {
+            r["h"]
+            for r in spark.createDataFrame(
+                [(u, b if b else b"") for u, b in sim.seen_keys],
+                "url string, body binary",
+            ).select(F.xxhash64("url", "body").alias("h")).collect()
+        }
+        assert eng_seen == exp
+
+    eng_res = sorted(
+        (r["url"], r["image_id"], r["caption"], bool(r["payload_ok"]))
+        for r in out["results"].collect()
+    )
+    sim_res = sorted((x["url"], x["image_id"], x["caption"], True) for x in sim.results)
+    assert eng_res == sim_res
+    return out, sim, cr
+
+
+def test_basic_crawl_with_robots(spark, tabs):
+    cfg = CrawlConfig(max_depth=3, ignore_robots_txt=False, shuffle_partitions=8)
+    out, sim, _ = run_compare(spark, tabs, make_seeds(["http://d00.test/page/0"]), cfg)
+    assert len(sim.visits) > 10  # non-trivial crawl
+
+
+def test_domain_allowlist(spark, tabs):
+    cfg = CrawlConfig(max_depth=3, allowed_domains=("d00.test",), shuffle_partitions=8)
+    run_compare(spark, tabs, make_seeds(
+        ["http://d00.test/page/0", "http://d01.test/page/0"]), cfg)
+
+
+def test_url_filters(spark, tabs):
+    cfg = CrawlConfig(
+        max_depth=3,
+        disallowed_url_filters=(r"/redirect/", r"/loop/"),
+        url_filters=(r"d0[01]\.test",),
+        shuffle_partitions=8,
+    )
+    run_compare(spark, tabs, make_seeds(["http://d00.test/page/0"]), cfg)
+
+
+def test_max_requests_budget(spark, tabs):
+    cfg = CrawlConfig(max_requests=5, shuffle_partitions=8)
+    out, sim, _ = run_compare(
+        spark, tabs, make_seeds(["http://d00.test/page/0"]), cfg, max_rounds=8)
+    assert len(sim.visits) == 5
+
+
+def test_max_depth_two_on_chain(spark, tabs):
+    cfg = CrawlConfig(max_depth=2, shuffle_partitions=8)
+    out, sim, _ = run_compare(
+        spark, tabs, make_seeds(["http://d00.test/deep/1"]), cfg)
+    assert [v[1] for v in
+            [(x["fetch_seq"], x["url"]) for x in sim.visits]] == [
+        "http://d00.test/deep/1", "http://d00.test/deep/2"]
+
+
+def test_politeness_deferral(spark, tabs):
+    cfg = CrawlConfig(
+        max_depth=2,
+        limit_rules=(LimitRule(domain_glob="*", delay_ms=400, parallelism=1),),
+        round_budget_ms=1000,
+        shuffle_partitions=8,
+    )
+    out, sim, _ = run_compare(
+        spark, tabs, make_seeds(["http://d00.test/page/0"]), cfg, max_rounds=20)
+    assert sim.rounds > 3  # deferral stretched the schedule
+
+
+def test_post_body_in_dedup_hash(spark, tabs):
+    sds = make_seeds(["http://d00.test/page/1"] * 3)
+    for i, b in enumerate([b"a=1", b"a=1", b"a=2"]):
+        sds[i]["method"] = "POST"
+        sds[i]["body"] = b
+    cfg = CrawlConfig(max_depth=1, shuffle_partitions=8)
+    out, sim, _ = run_compare(spark, tabs, sds, cfg)
+    assert len(sim.visits) == 2
+
+
+def test_error_statuses_and_parse_error_response(spark, tabs):
+    seeds = make_seeds(["http://d00.test/e404", "http://d00.test/e500",
+                        "http://d00.test/e204"])
+    run_compare(spark, tabs, seeds, CrawlConfig(max_depth=1, shuffle_partitions=8))
+    run_compare(spark, tabs, seeds,
+                CrawlConfig(max_depth=1, parse_http_error_response=True,
+                            shuffle_partitions=8))
+
+
+def test_redirects_and_cycles(spark, tabs):
+    cfg = CrawlConfig(max_depth=2, shuffle_partitions=8)
+    seeds = make_seeds(["http://d00.test/redirect/0", "http://d00.test/loop/a"])
+    out, sim, _ = run_compare(spark, tabs, seeds, cfg)
+    assert "http://d00.test/redirect/1" in sim.url_seen  # hop marked
+
+
+def test_base_tag(spark, tabs):
+    cfg = CrawlConfig(max_depth=2, shuffle_partitions=8)
+    out, sim, _ = run_compare(spark, tabs, make_seeds(["http://d00.test/base"]), cfg)
+    assert "http://d00.test/sub/dir/child" in [v["url"] for v in sim.visits]
+
+
+def test_shuffle_partition_invariance(spark, tabs):
+    """Ordering must derive from data, never partition layout (north rule)."""
+    seeds = make_seeds(["http://d00.test/page/0", "http://d01.test/page/3"])
+    traces = []
+    for parts in (3, 8):
+        cfg = CrawlConfig(max_depth=3, ignore_robots_txt=False, shuffle_partitions=parts)
+        cr = Crawler(spark, cfg, tabs["pages"], tabs["images"], tabs["robots"])
+        out = cr.run(seeds, max_rounds=6)
+        traces.append(
+            [(r["fetch_seq"], r["url"]) for r in out["visits"].orderBy("fetch_seq").collect()]
+        )
+    assert traces[0] == traces[1]
+
+
+def test_hot_domain_skew_budget(spark):
+    """North rule: salted repartition keeps max partition fetch budget
+    bounded vs the median (no executor starves behind a hot domain)."""
+    spec = SiteSpec(n_domains=4, pages_per_domain=12, hot_domain_factor=8,
+                    with_specials=False, quirky_links=False)
+    site = build_site(spec)
+    t = site_to_spark(spark, site)
+    cfg = CrawlConfig(max_depth=3, shuffle_partitions=8)
+    cr = Crawler(spark, cfg, t["pages"], t["images"], t["robots"])
+    out = cr.run(make_seeds([f"http://d0{d}.test/page/0" for d in range(4)]),
+                 max_rounds=4)
+    lineage = out["lineage"].where("stage = 'fetch'").collect()
+    by_round: dict[int, list[int]] = {}
+    for r in lineage:
+        by_round.setdefault(r["round"], []).append(r["urls_in"])
+    for rnd, counts in by_round.items():
+        if len(counts) < 3 or sum(counts) < 24:
+            continue
+        counts = sorted(counts)
+        median = counts[len(counts) // 2]
+        assert max(counts) <= max(2 * median, 16), (rnd, counts)
+
+
+def test_checkpoint_resume_equals_uninterrupted(spark, tabs, tmp_path):
+    cfg = CrawlConfig(max_depth=3, shuffle_partitions=8)
+    seeds = make_seeds(["http://d00.test/page/0"])
+    # uninterrupted
+    cr_full = Crawler(spark, cfg, tabs["pages"], tabs["images"], tabs["robots"],
+                      checkpoint_dir=str(tmp_path / "full"))
+    full = cr_full.run(seeds, max_rounds=6)
+    full_visits = [(r["fetch_seq"], r["url"]) for r in
+                   full["visits"].orderBy("fetch_seq").collect()]
+    # interrupted after 2 rounds, then resumed by a NEW crawler instance
+    ck = str(tmp_path / "ck")
+    cr1 = Crawler(spark, cfg, tabs["pages"], tabs["images"], tabs["robots"],
+                  checkpoint_dir=ck)
+    cr1.run(seeds, max_rounds=2)
+    cr2 = Crawler(spark, cfg, tabs["pages"], tabs["images"], tabs["robots"],
+                  checkpoint_dir=ck)
+    resumed = cr2.run(seeds, max_rounds=6)
+    res_visits = [(r["fetch_seq"], r["url"]) for r in
+                  resumed["visits"].orderBy("fetch_seq").collect()]
+    assert res_visits == full_visits

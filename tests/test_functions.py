@@ -1,0 +1,123 @@
+"""Training-data pipeline ops: dedup (exact/minhash/simhash/embedding),
+similarity search, text analysis, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from colly_spark.functions import dedup, multimodal, similarity, text
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the old barn"),
+    (1, "the quick brown fox jumps over the lazy dog near the old barn"),  # exact dup
+    (2, "the quick brown fox jumps over the lazy cat near the old barn"),  # near dup
+    (3, "completely different content about spark shuffles and partitions here"),
+    (4, "another unrelated document regarding bloom filters and politeness"),
+    (5, "THE  quick   brown fox jumps over the lazy dog near the old barn"),  # norm dup
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_groups(docs):
+    rows = {r["keep_doc_id"]: r["group_size"] for r in dedup.exact_dedup(docs).collect()}
+    assert rows[0] == 3  # 0, 1, 5 normalize identically
+    assert rows[2] == 1 and rows[3] == 1 and rows[4] == 1
+
+
+def test_minhash_matches_exact_jaccard(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=64, bands=16,
+                                    jaccard_threshold=0.5)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 5) in got and (1, 5) in got  # exact dups
+    assert (0, 2) in got  # one-word-changed near dup
+    assert not any(3 in p or 4 in p for p in got)  # unrelated docs excluded
+    # verify stage: exact Jaccard on the candidates agrees
+    exact = dedup.exact_jaccard_pairs(docs, pairs.select("a", "b"))
+    for r in exact.collect():
+        if r["a"] == 0 and r["b"] == 1:
+            assert r["jaccard"] == 1.0
+        if r["a"] == 0 and r["b"] == 2:
+            assert 0.5 < r["jaccard"] < 1.0
+
+
+def test_simhash_near_dup_small_hamming(docs):
+    rows = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+    assert rows[0] == rows[1]  # identical text -> identical signature
+    ham = bin((rows[0] ^ rows[2]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((rows[0] ^ rows[3]) & ((1 << 64) - 1)).count("1")
+    assert ham < ham_far  # near dup closer than unrelated
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16)).astype("float32")
+    base[1] = base[0] + rng.normal(scale=0.01, size=16).astype("float32")  # near dup
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_brute_force_topk_finds_neardup(emb):
+    out = similarity.brute_force_topk(emb, query_ids=[0], k=3).collect()
+    assert out[0]["neighbor_id"] == 1 and out[0]["rank"] == 1
+
+
+def test_ivf_recall_vs_brute_force(emb):
+    qids = [0, 5, 10]
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, qids, k=3).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(emb, qids, k=3, bits=4, probe_flip_bits=2).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.5  # multi-probe over 4 bits on 40 vectors
+
+
+def test_embedding_neardup_pairs(emb):
+    got = {(r["a"], r["b"]) for r in
+           dedup.embedding_neardup_pairs(emb, threshold=0.98, bits=8).collect()}
+    assert (0, 1) in got
+
+
+def test_text_analysis(docs):
+    out = {r["doc_id"]: r for r in text.analyze(docs).collect()}
+    assert out[0]["n_tokens"] == 13
+    assert out[0]["lang_pred"] == "en"
+    assert out[0]["fp"] == out[5]["fp"]  # normalization collapses whitespace/case
+    assert 0 <= out[3]["quality"] <= 1
+
+
+def test_image_features_and_resize(spark):
+    from colly_spark import imagecodec
+    from colly_spark.fixtures import SiteSpec, build_images
+    from colly_spark import schemas
+
+    imgs = build_images(SiteSpec(n_domains=1, image_pool_per_domain=4))
+    df = spark.createDataFrame(
+        [(i["image_id"], i["bytes"], i["w"], i["h"], i["fmt"], i["caption"], i["phash"])
+         for i in imgs],
+        schema=schemas.IMAGES,
+    )
+    feats = {r["image_id"]: r for r in multimodal.image_features(df).collect()}
+    assert all(f["decode_ok"] for f in feats.values())
+    for i in imgs:
+        if i["fmt"] == "png":  # lossless: phash identical to stored
+            assert feats[i["image_id"]]["phash"] == i["phash"]
+    small = multimodal.resize_images(df, 8, 6).collect()
+    assert len(small) == 4
+    arr = imagecodec.decode(small[0]["bytes"])
+    assert arr.shape == (6, 8, 3)
+
+
+def test_multimodal_stubs_raise():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"RIFF....")
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_video_frames(b"....ftyp")
