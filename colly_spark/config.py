@@ -92,6 +92,7 @@ class CrawlConfig:
     seen_bloom_enabled: bool = False  # exact anti-join always on; bloom pre-filter
     seen_bloom_fpp: float = 0.01
     seen_bloom_partitions: int = 64  # sandbox-scale stand-in for 4096 at 10^10
+    seen_bloom_capacity_per_partition: int = 65536  # 2.45e6 at the 10^10 point
     max_rounds: int = 64
 
     extra: dict = field(default_factory=dict, compare=False, hash=False)

@@ -33,7 +33,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from colly_spark import schemas
+from colly_spark import bloomseen, schemas
 from colly_spark.config import CrawlConfig
 from colly_spark.operators import parse as parse_op
 from colly_spark.operators import payload as payload_op
@@ -75,6 +75,7 @@ STATE_SCHEMAS = {
     "lineage": schemas.LINEAGE,
     "pending": schemas.FRONTIER,
     "candidates": CANDIDATES,
+    "seen_filters": bloomseen.SEEN_FILTERS,
 }
 
 
@@ -113,7 +114,11 @@ class Crawler:
             [], schema=schemas.ROBOTS_FIXTURE
         )
         self.store = StateStore(
-            spark, STATE_SCHEMAS, checkpoint_dir, replace_tables=("pending", "candidates")
+            spark, STATE_SCHEMAS, checkpoint_dir,
+            replace_tables=("pending", "candidates", "seen_filters"),
+        )
+        self.bloom_m, self.bloom_k = bloomseen.bloom_params(
+            cfg.seen_bloom_capacity_per_partition, cfg.seen_bloom_fpp
         )
         self.url_parts_udf, _ = register_udfs()
         self.rule_idx_udf = sched_op.make_rule_idx_udf(cfg)
@@ -214,6 +219,13 @@ class Crawler:
             F.xxhash64(F.coalesce("canon_url", F.lit("")), F.coalesce("body", F.lit(b""))),
         )
         c = c.withColumn("rule_idx", self.rule_idx_udf("domain"))
+        # politeness-aligned seen-partition key, shared by the url_seen
+        # insert and the Bloom probe (must match on both sides — a mismatch
+        # would turn Bloom false negatives into missed dedups)
+        c = c.withColumn(
+            "__dh",
+            F.pmod(F.xxhash64("domain"), F.lit(cfg.seen_bloom_partitions)).cast("int"),
+        )
         c = c.withColumn("__static_kind", static_filter_kind(cfg, F.col("canon_url"), F.col("domain")))
         # one materialization of the UDF chain: the robots cache-fill branch,
         # the range-partitioner sampling pass and the seq sort all read this
@@ -252,9 +264,28 @@ class Crawler:
 
         # F5 seen: cross-round flag + intra-batch first-wins (window by hash)
         seen_tbl = self.store.get("url_seen").select("url_hash").distinct()
-        c = c.join(
-            seen_tbl.withColumn("__seen_prev", F.lit(True)), on="url_hash", how="left"
-        ).withColumn("__seen_prev", F.coalesce("__seen_prev", F.lit(False)))
+        seen_flag = seen_tbl.withColumn("__seen_prev", F.lit(True))
+        if cfg.seen_bloom_enabled:
+            # Bloom pre-filter (§4.3): only maybe-seen rows pay the exact
+            # join; Bloom-negative rows are definitively new. False
+            # positives just ride through the exact join — no semantic
+            # change; false negatives are impossible because the filters
+            # contain every hash marked in all committed rounds.
+            might = bloomseen.make_might_contain_udf(
+                spark, self.store.get("seen_filters"), self.bloom_m, self.bloom_k
+            )
+            c = c.withColumn("__maybe", might(F.col("url_hash"), F.col("__dh")))
+            pos = (
+                c.where(F.col("__maybe"))
+                .join(seen_flag, on="url_hash", how="left")
+                .withColumn("__seen_prev", F.coalesce("__seen_prev", F.lit(False)))
+            )
+            neg = c.where(~F.col("__maybe")).withColumn("__seen_prev", F.lit(False))
+            c = pos.unionByName(neg).drop("__maybe")
+        else:
+            c = c.join(seen_flag, on="url_hash", how="left").withColumn(
+                "__seen_prev", F.coalesce("__seen_prev", F.lit(False))
+            )
         checkable = (
             F.lit(not cfg.allow_url_revisit)
             & ~F.coalesce(F.col("skip_seen_check"), F.lit(False))
@@ -335,8 +366,7 @@ class Crawler:
             "url_seen",
             c.where("__marked").select(
                 "url_hash",
-                F.pmod(F.xxhash64("domain"), F.lit(cfg.seen_bloom_partitions))
-                .cast("int").alias("domain_hash"),
+                F.col("__dh").alias("domain_hash"),
                 F.lit(rnd).alias("round_added"),
             ),
             rnd,
@@ -397,11 +427,31 @@ class Crawler:
             .where(F.col("abort_idx").isNull() | (F.col("hop_idx") < F.col("abort_idx")))
             .select(
                 F.col("hop_hash").alias("url_hash"),
-                F.lit(0).cast("int").alias("domain_hash"),
+                # same partition-key formula as the candidate side — hop
+                # hashes must land in the right Bloom partition or a later
+                # resubmission of the hop URL would false-negative
+                F.pmod(
+                    F.xxhash64(self.url_parts_udf("hop_url").getField("domain")),
+                    F.lit(cfg.seen_bloom_partitions),
+                ).cast("int").alias("domain_hash"),
                 F.lit(rnd).alias("round_added"),
             )
         )
         self.store.stage_append("url_seen", hops_marked, rnd)
+        if cfg.seen_bloom_enabled:
+            new_hashes = (
+                c.where("__marked")
+                .select(F.col("__dh").alias("domain_hash"), "url_hash")
+                .unionByName(hops_marked.select("domain_hash", "url_hash"))
+            )
+            self.store.replace(
+                "seen_filters",
+                bloomseen.update_filters(
+                    self.store.get("seen_filters"), new_hashes,
+                    self.bloom_m, self.bloom_k,
+                ),
+                rnd,
+            )
         d = d.join(aborts, "fetch_seq", "left")
         d = d.withColumn(
             "__effective_url",
@@ -542,7 +592,9 @@ class Crawler:
         # round; append-only output tables only every few rounds (they are
         # read at the end, not inside the loop), with their upstream
         # intermediates pinned in cache until that flush
-        self.store.compact(["url_seen", "pending", "candidates", "robots_cache"])
+        self.store.compact(
+            ["url_seen", "pending", "candidates", "robots_cache", "seen_filters"]
+        )
         self._pins.extend([c, dispatch, d, parsed])
         if len(self._pins) >= 16:
             self._flush_pins()

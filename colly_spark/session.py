@@ -25,6 +25,10 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # cap plan-string rendering: AQE re-renders the explain string on
+        # every plan update; unbounded renders of deep iterative plans can
+        # OOM the driver heap
+        .config("spark.sql.maxPlanStringLength", "1048576")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

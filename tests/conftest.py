@@ -9,6 +9,10 @@ def spark():
         SparkSession.builder.master("local[4]")
         .appName("colly-spark-tests")
         .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
+        # iterative jobs accumulate deep AQE plans; an uncapped explain
+        # string render can OOM the driver (seen in-suite at default heap)
+        .config("spark.sql.maxPlanStringLength", "1048576")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -1,0 +1,111 @@
+"""Bloom seen-filter layer (SURVEY.md §4.3): kernel math, no false
+negatives, measured FPP near target, distributed update, and end-to-end
+engine parity (bloom path == exact path == golden simulator)."""
+
+import numpy as np
+import pytest
+
+from colly_spark.bloomseen import (
+    SEEN_FILTERS,
+    bloom_params,
+    insert_into_bits,
+    membership,
+    update_filters,
+)
+from colly_spark.config import CrawlConfig
+from colly_spark.engine import Crawler
+from colly_spark.fixtures import SiteSpec, build_site, make_seeds, site_to_spark
+from colly_spark.simulator import simulate
+
+
+def test_bloom_params_sizing_math():
+    # the documented 10^10 design point: 2.45e6 items/partition @ 1% fpp
+    m, k = bloom_params(2_450_000, 0.01)
+    assert abs(m - 23_485_060) / 23_485_060 < 0.001  # ~23.4 Mbit = 2.93 MiB
+    assert k == 7
+    # degenerate inputs stay sane
+    m0, k0 = bloom_params(0, 0.01)
+    assert m0 >= 8 and k0 >= 1
+    assert bloom_params(1000, 0.01)[0] % 8 == 0  # byte-aligned
+
+
+def test_no_false_negatives_and_fpp():
+    rng = np.random.default_rng(7)
+    n = 20_000
+    m, k = bloom_params(n, 0.01)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    inserted = rng.integers(-(2**63), 2**63 - 1, size=n, dtype=np.int64)
+    insert_into_bits(bits, inserted, m, k)
+    assert membership(bits, inserted, m, k).all()  # zero false negatives
+    fresh = rng.integers(-(2**63), 2**63 - 1, size=50_000, dtype=np.int64)
+    fresh = np.setdiff1d(fresh, inserted)
+    fpp = membership(bits, fresh, m, k).mean()
+    assert fpp < 0.03  # target 0.01 with slack
+
+
+def test_update_filters_incremental(spark):
+    m, k = bloom_params(1000, 0.01)
+    empty = spark.createDataFrame([], schema=SEEN_FILTERS)
+    batch1 = spark.createDataFrame(
+        [(i % 4, i * 7919) for i in range(100)], "domain_hash int, url_hash long"
+    )
+    f1 = update_filters(empty, batch1, m, k).localCheckpoint(eager=True)
+    batch2 = spark.createDataFrame(
+        [(i % 4, i * 104729 + 3) for i in range(50)], "domain_hash int, url_hash long"
+    )
+    f2 = update_filters(f1, batch2, m, k)
+    rows = {r["domain_hash"]: r for r in f2.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert sum(r["n_items"] for r in rows.values()) == 150
+    # every inserted hash is found in its own partition's filter
+    for dh, h in [(i % 4, i * 7919) for i in range(100)] + [
+        (i % 4, i * 104729 + 3) for i in range(50)
+    ]:
+        bits = np.frombuffer(rows[dh]["bits"], dtype=np.uint8)
+        assert membership(bits, np.array([h], dtype=np.int64), m, k)[0]
+
+
+@pytest.fixture(scope="module")
+def bloom_site():
+    # redirects + robots + revisit-heavy link graph: exercises every
+    # url_seen insert path (submission marks AND redirect-hop marks)
+    spec = SiteSpec(n_domains=3, pages_per_domain=10)
+    return spec, build_site(spec)
+
+
+def test_engine_parity_bloom_vs_exact_vs_simulator(spark, bloom_site):
+    spec, site = bloom_site
+    tabs = site_to_spark(spark, site)
+    seeds = make_seeds([f"http://d0{d}.test/page/0" for d in range(3)])
+    outs = {}
+    for bloom in (False, True):
+        cfg = CrawlConfig(
+            max_depth=3,
+            ignore_robots_txt=False,
+            seen_bloom_enabled=bloom,
+            seen_bloom_partitions=8,
+            seen_bloom_capacity_per_partition=4096,
+            shuffle_partitions=8,
+        )
+        cr = Crawler(spark, cfg, tabs["pages"], tabs["images"], tabs["robots"])
+        out = cr.run(seeds, max_rounds=8)
+        outs[bloom] = {
+            "visits": [
+                (r["fetch_seq"], r["url"], r["depth"])
+                for r in out["visits"].orderBy("fetch_seq").collect()
+            ],
+            "seen": {r["url_hash"] for r in out["url_seen"].collect()},
+            "errors": sorted(
+                (r["url"], r["error_kind"]) for r in out["errors"].collect()
+            ),
+        }
+    assert outs[True] == outs[False]
+    sim = simulate(
+        site,
+        seeds,
+        CrawlConfig(max_depth=3, ignore_robots_txt=False),
+        max_rounds=8,
+    )
+    assert outs[True]["visits"] == [
+        (v["fetch_seq"], v["url"], v["depth"]) for v in sim.visits
+    ]
