@@ -1,0 +1,211 @@
+"""U1/U2/E2/E3/F7 user surface: a colly-shaped ``Collector`` facade over the
+round-based engine.
+
+Colly's API is imperative and callback-driven (colly.go:313-511 options,
+colly.go:929-1051 callback registration, colly.go:1423-1459 Clone); the
+engine is declarative and set-oriented. The facade maps between them:
+
+- functional options -> :class:`colly_spark.config.CrawlConfig` fields,
+  same names (U1); ``from_env`` mirrors the ``COLLY_*`` variables
+  (colly.go:255-308).
+- ``on_html(selector)`` / ``on_html_detach`` (E3) toggle which extractors
+  the vectorized parse stage runs. The supported selector surface is the
+  image+caption crawl schema (SURVEY.md §2 P9): ``a[href]`` (link follow)
+  and ``figure img + figcaption`` (payload extraction). Arbitrary CSS
+  selectors would need a general engine in the parse UDF — out of scope,
+  and loudly rejected rather than silently ignored.
+- ``on_request(abort_if=...)`` (E2/E4) registers declarative OnRequest
+  abort predicates (URL regexes) evaluated identically by the engine
+  (``rlike``) and the serial simulator (``re.search``) — the common
+  ``if bad(url) { r.Abort() }`` pattern. Arbitrary Python callbacks would
+  fork engine/simulator semantics; declarative predicates keep the parity
+  guarantee.
+- ``on_response`` / ``on_error`` / ``on_scraped`` register DataFrame taps:
+  after the crawl they are applied, in registration order, to the visits /
+  errors / results tables sorted by ``fetch_seq`` — the set-oriented
+  restatement of colly's per-request dispatch order (colly.go:691-772).
+- ``clone()`` -> same config + state location, fresh callbacks (U2). With a
+  ``checkpoint_dir`` the URL-seen state is genuinely shared, matching
+  colly's shared-``storage.Storage`` semantics.
+- ``has_visited(url)`` / ``has_posted(url, body)`` -> point lookups against
+  the url_seen table (F7, colly.go:547-555).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import replace
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from colly_spark.config import CrawlConfig
+from colly_spark.engine import Crawler
+from colly_spark.urlkit import canonicalize
+
+SUPPORTED_SELECTORS = {
+    "a[href]": "follow_links",
+    "figure img + figcaption": "extract_images",
+    "img[src]": "extract_images",
+}
+
+
+class Collector:
+    """Facade: colly's Collector surface over the batch-iterative engine."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        images: DataFrame,
+        robots: DataFrame | None = None,
+        checkpoint_dir: str | None = None,
+        config: CrawlConfig | None = None,
+        **options,
+    ):
+        # functional options (colly.go:326-488) by CrawlConfig field name;
+        # selectors start UNregistered like a fresh colly.NewCollector()
+        base = config if config is not None else CrawlConfig(
+            follow_links=False, extract_images=False
+        )
+        if options:
+            base = replace(base, **options)
+        self.cfg = base
+        self.spark = spark
+        self.tables = dict(pages=pages, images=images, robots=robots)
+        self.checkpoint_dir = checkpoint_dir
+        self._seeds: list[dict] = []
+        self._taps: list[tuple[str, Callable[[DataFrame], object]]] = []
+        self._out: dict | None = None
+
+    # ---------------- registration (E2/E3) ----------------
+
+    def on_html(self, selector: str) -> "Collector":
+        field = SUPPORTED_SELECTORS.get(selector)
+        if field is None:
+            raise ValueError(
+                f"unsupported selector {selector!r}; the parse stage implements "
+                f"{sorted(SUPPORTED_SELECTORS)} (SURVEY.md §2 P3/P9)"
+            )
+        self.cfg = replace(self.cfg, **{field: True})
+        return self
+
+    def on_html_detach(self, selector: str) -> "Collector":
+        field = SUPPORTED_SELECTORS.get(selector)
+        if field is None:
+            raise ValueError(f"unsupported selector {selector!r}")
+        self.cfg = replace(self.cfg, **{field: False})
+        return self
+
+    def on_request(self, abort_if: str | None = None) -> "Collector":
+        """Register an OnRequest tap. Only the declarative abort form is
+        supported: ``abort_if`` is a regex on the canonical URL."""
+        if abort_if is not None:
+            self.cfg = replace(
+                self.cfg, abort_url_filters=self.cfg.abort_url_filters + (abort_if,)
+            )
+        return self
+
+    def on_response(self, fn: Callable[[DataFrame], object]) -> "Collector":
+        self._taps.append(("visits", fn))
+        return self
+
+    def on_error(self, fn: Callable[[DataFrame], object]) -> "Collector":
+        self._taps.append(("errors", fn))
+        return self
+
+    def on_scraped(self, fn: Callable[[DataFrame], object]) -> "Collector":
+        self._taps.append(("results", fn))
+        return self
+
+    # ---------------- crawling ----------------
+
+    def visit(self, url: str) -> "Collector":
+        self._seeds.append({"url": url, "seed_seq": len(self._seeds)})
+        return self
+
+    def wait(self, max_rounds: int | None = None) -> dict:
+        """Run the crawl (colly's Async submit + Wait collapse into one
+        barrier here) and fire the registered taps in order."""
+        crawler = Crawler(
+            self.spark, self.cfg, self.tables["pages"], self.tables["images"],
+            self.tables["robots"], checkpoint_dir=self.checkpoint_dir,
+        )
+        self._out = crawler.run(self._seeds, max_rounds=max_rounds)
+        for table, fn in self._taps:
+            df = self._out[table]
+            order = "fetch_seq" if table in ("visits", "results") else "round"
+            fn(df.orderBy(order))
+        return self._out
+
+    # ---------------- state queries (F7) ----------------
+
+    def _seen_hashes(self) -> DataFrame:
+        if self._out is None:
+            raise RuntimeError("call wait() first")
+        return self._out["url_seen"]
+
+    def has_visited(self, url: str) -> bool:
+        canon = canonicalize(url)
+        return not (
+            self._seen_hashes()
+            .where(F.col("url_hash") == F.xxhash64(F.lit(canon), F.lit(b"")))
+            .isEmpty()
+        )
+
+    def has_posted(self, url: str, body: bytes) -> bool:
+        canon = canonicalize(url)
+        return not (
+            self._seen_hashes()
+            .where(F.col("url_hash") == F.xxhash64(F.lit(canon), F.lit(body)))
+            .isEmpty()
+        )
+
+    # ---------------- clone (U2) ----------------
+
+    def clone(self) -> "Collector":
+        """Same config + state location, fresh callback registrations
+        (colly.go:1423-1459: config copied, store shared, callbacks reset)."""
+        return Collector(
+            self.spark, self.tables["pages"], self.tables["images"],
+            self.tables["robots"], checkpoint_dir=self.checkpoint_dir,
+            config=replace(self.cfg, follow_links=False, extract_images=False,
+                           abort_url_filters=()),
+        )
+
+
+def from_env(base: CrawlConfig | None = None, env=os.environ) -> CrawlConfig:
+    """COLLY_* environment configuration (colly.go:255-308, 1532-1544)."""
+    cfg = base or CrawlConfig()
+    fields = {}
+    if "COLLY_USER_AGENT" in env:
+        fields["user_agent"] = env["COLLY_USER_AGENT"]
+    if "COLLY_MAX_DEPTH" in env:
+        fields["max_depth"] = int(env["COLLY_MAX_DEPTH"])
+    if "COLLY_ALLOWED_DOMAINS" in env:
+        fields["allowed_domains"] = tuple(env["COLLY_ALLOWED_DOMAINS"].split(","))
+    if "COLLY_DISALLOWED_DOMAINS" in env:
+        fields["disallowed_domains"] = tuple(env["COLLY_DISALLOWED_DOMAINS"].split(","))
+    if "COLLY_DISALLOWED_URL_FILTERS" in env:
+        fields["disallowed_url_filters"] = tuple(
+            env["COLLY_DISALLOWED_URL_FILTERS"].split(",")
+        )
+    if "COLLY_URL_FILTERS" in env:
+        fields["url_filters"] = tuple(env["COLLY_URL_FILTERS"].split(","))
+    if "COLLY_ALLOW_URL_REVISIT" in env:
+        fields["allow_url_revisit"] = env["COLLY_ALLOW_URL_REVISIT"].lower() in (
+            "1", "true", "y", "yes",
+        )
+    if "COLLY_MAX_BODY_SIZE" in env:
+        fields["max_body_size"] = int(env["COLLY_MAX_BODY_SIZE"])
+    if "COLLY_IGNORE_ROBOTSTXT" in env:
+        fields["ignore_robots_txt"] = env["COLLY_IGNORE_ROBOTSTXT"].lower() in (
+            "1", "true", "y", "yes",
+        )
+    if "COLLY_PARSE_HTTP_ERROR_RESPONSE" in env:
+        fields["parse_http_error_response"] = env[
+            "COLLY_PARSE_HTTP_ERROR_RESPONSE"
+        ].lower() in ("1", "true", "y", "yes")
+    if "COLLY_MAX_REQUESTS" in env:
+        fields["max_requests"] = int(env["COLLY_MAX_REQUESTS"])
+    return replace(cfg, **fields) if fields else cfg

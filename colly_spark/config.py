@@ -82,6 +82,17 @@ class CrawlConfig:
     max_redirects: int = 10  # colly.go:1516-1519
     max_queue_size: int = 0  # queue/queue.go:234-236 (0 = unbounded)
 
+    # E2/E3 callback surface (colly.go:929-1051): which extractors are
+    # active (OnHTML / OnHTMLDetach) and declarative OnRequest-abort
+    # predicates (request.go:89-96 Abort inside an OnRequest callback).
+    # Abort happens AFTER requestCheck: the URL is seen-marked and consumes
+    # MaxRequests budget (colly assigns Request.ID first), but is never
+    # fetched and consumes no politeness tokens (the LimitRule semaphore
+    # sits inside backend.Do, past the abort point).
+    follow_links: bool = True  # OnHTML("a[href]") registered
+    extract_images: bool = True  # OnHTML("figure img + figcaption") registered
+    abort_url_filters: tuple[str, ...] = ()  # regex on canonical URL
+
     limit_rules: tuple[LimitRule, ...] = ()
     round_budget_ms: int = 1000  # wall budget a round models for politeness
     service_est_ms: int = 10
@@ -102,3 +113,6 @@ class CrawlConfig:
 
     def compiled_allowed(self) -> list[re.Pattern]:
         return [re.compile(p) for p in self.url_filters]
+
+    def compiled_aborts(self) -> list[re.Pattern]:
+        return [re.compile(p) for p in self.abort_url_filters]

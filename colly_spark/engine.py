@@ -39,7 +39,7 @@ from colly_spark.operators import parse as parse_op
 from colly_spark.operators import payload as payload_op
 from colly_spark.operators import robots as robots_op
 from colly_spark.operators import schedule as sched_op
-from colly_spark.operators.fetch import make_fetch_exec, make_resolver_udf
+from colly_spark.operators.fetch import fetch_ms_col, make_resolver_udf
 from colly_spark.operators.filters import static_filter_kind
 from colly_spark.operators.seq import with_ordered_counts
 from colly_spark.statestore import StateStore
@@ -124,7 +124,9 @@ class Crawler:
         self.rule_idx_udf = sched_op.make_rule_idx_udf(cfg)
         self.robots_kind_fn = robots_op.robots_gate_kind(cfg.user_agent)
         self.validate_udf = payload_op.make_validate_udf()
-        self.extract_udf = parse_op.make_extract_udf()
+        self.extract_udf = parse_op.make_extract_udf(
+            cfg.follow_links, cfg.extract_images
+        )
         # redirect edges are a tiny fraction of the web; broadcast resolver.
         # (an iterative hop-join fallback belongs here if that stops holding)
         redirect_rows = (
@@ -208,50 +210,71 @@ class Crawler:
 
         _t0 = _time.time()
         cfg, spark = self.cfg, self.spark
+        spark.sparkContext.setJobDescription(f"r{rnd}:submit")
         built = self.store.counters.get("built", 0)
         fetched = self.store.counters.get("fetched", 0)
 
         # ---------------- submission: F1..F5 as one plan ----------------
-        c = new_cands.withColumn("__p", self.url_parts_udf("url_raw"))
-        c = c.select("*", "__p.canon_url", "__p.domain", "__p.path_query").drop("__p")
-        c = c.withColumn(
+        # Split wide vs skinny: the requestCheck relational work (robots
+        # join, seen anti-join/Bloom, first-wins window, global FIFO
+        # sequencing) only needs ~10 small columns, so every shuffle / sort
+        # / sample in this phase moves skinny rows; the wide payload
+        # (url_raw, body, ctx, parent_url) sits in one cached frame and is
+        # joined back exactly once. At the 10^10 design point this is the
+        # difference between sorting ~50 B/row and sorting full requests.
+        cwide = new_cands.withColumn("__p", self.url_parts_udf("url_raw"))
+        cwide = cwide.select(
+            "*", "__p.canon_url", "__p.domain", "__p.path_query"
+        ).drop("__p")
+        cwide = cwide.withColumn(
             "url_hash",
             F.xxhash64(F.coalesce("canon_url", F.lit("")), F.coalesce("body", F.lit(b""))),
         )
-        c = c.withColumn("rule_idx", self.rule_idx_udf("domain"))
+        cwide = cwide.withColumn("rule_idx", self.rule_idx_udf("domain"))
         # politeness-aligned seen-partition key, shared by the url_seen
         # insert and the Bloom probe (must match on both sides — a mismatch
         # would turn Bloom false negatives into missed dedups)
-        c = c.withColumn(
+        cwide = cwide.withColumn(
             "__dh",
             F.pmod(F.xxhash64("domain"), F.lit(cfg.seen_bloom_partitions)).cast("int"),
         )
-        c = c.withColumn("__static_kind", static_filter_kind(cfg, F.col("canon_url"), F.col("domain")))
-        # one materialization of the UDF chain: the robots cache-fill branch,
-        # the range-partitioner sampling pass and the seq sort all read this
-        c = c.persist()
-        self._pins.append(c)
+        # one materialization of the UDF chain: every downstream branch
+        # (skinny flags, robots cache-fill, verdict join-back) reads this
+        cwide = cwide.persist()
+        self._pins.append(cwide)
+
+        sk = cwide.select(
+            *ORDER_COLS,
+            "url_hash", "__dh", "domain", "path_query", "method", "depth",
+            "skip_seen_check", "rule_idx",
+            F.col("body").isNotNull().alias("__body_notnull"),
+            F.col("canon_url").isNull().alias("__url_bad"),
+            static_filter_kind(cfg, F.col("canon_url"), F.col("domain")).alias(
+                "__static_kind"
+            ),
+            _abort_match(cfg, F.col("canon_url")).alias("__abort"),
+        )
         depth_bad = (
             (F.lit(cfg.max_depth) > 0) & (F.col("depth") > cfg.max_depth)
         )
-        pre_ok = F.col("canon_url").isNotNull() & ~depth_bad & F.col("__static_kind").isNull()
+        pre_ok = ~F.col("__url_bad") & ~depth_bad & F.col("__static_kind").isNull()
 
         # F6 robots: fill cache from hosts surviving the cheap filters
         if not cfg.ignore_robots_txt:
             new_cache = robots_op.fill_robots_cache(
-                c.where(pre_ok).select("domain"),
+                sk.where(pre_ok).select("domain"),
                 self.store.get("robots_cache"),
                 self.robots_fixture,
                 rnd,
             )
             self.store.stage_append("robots_cache", new_cache, rnd)
             cache = self.store.get("robots_cache")
-            c = c.join(
+            sk = sk.join(
                 F.broadcast(cache.select("host", "robots_body", "fetch_failed")),
-                c.domain == F.col("host"),
+                sk.domain == F.col("host"),
                 "left",
             ).drop("host")
-            c = c.withColumn(
+            sk = sk.withColumn(
                 "__robots_kind",
                 self.robots_kind_fn(
                     F.col("robots_body"), F.col("path_query"),
@@ -260,7 +283,7 @@ class Crawler:
             ).drop("robots_body", "fetch_failed")
             pre_ok = pre_ok & F.col("__robots_kind").isNull()
         else:
-            c = c.withColumn("__robots_kind", F.lit(None).cast("string"))
+            sk = sk.withColumn("__robots_kind", F.lit(None).cast("string"))
 
         # F5 seen: cross-round flag + intra-batch first-wins (window by hash)
         seen_tbl = self.store.get("url_seen").select("url_hash").distinct()
@@ -274,23 +297,23 @@ class Crawler:
             might = bloomseen.make_might_contain_udf(
                 spark, self.store.get("seen_filters"), self.bloom_m, self.bloom_k
             )
-            c = c.withColumn("__maybe", might(F.col("url_hash"), F.col("__dh")))
+            sk = sk.withColumn("__maybe", might(F.col("url_hash"), F.col("__dh")))
             pos = (
-                c.where(F.col("__maybe"))
+                sk.where(F.col("__maybe"))
                 .join(seen_flag, on="url_hash", how="left")
                 .withColumn("__seen_prev", F.coalesce("__seen_prev", F.lit(False)))
             )
-            neg = c.where(~F.col("__maybe")).withColumn("__seen_prev", F.lit(False))
-            c = pos.unionByName(neg).drop("__maybe")
+            neg = sk.where(~F.col("__maybe")).withColumn("__seen_prev", F.lit(False))
+            sk = pos.unionByName(neg).drop("__maybe")
         else:
-            c = c.join(seen_flag, on="url_hash", how="left").withColumn(
+            sk = sk.join(seen_flag, on="url_hash", how="left").withColumn(
                 "__seen_prev", F.coalesce("__seen_prev", F.lit(False))
             )
         checkable = (
             F.lit(not cfg.allow_url_revisit)
             & ~F.coalesce(F.col("skip_seen_check"), F.lit(False))
             # quirk colly.go:794-796: non-GET with nil body skips the check
-            & ((F.col("method") == GET) | F.col("body").isNotNull())
+            & ((F.col("method") == GET) | F.col("__body_notnull"))
         )
         flag_a = pre_ok & ~checkable  # always-eligible (skip seen check)
         flag_b = pre_ok & checkable & ~F.col("__seen_prev")
@@ -299,16 +322,17 @@ class Crawler:
             .orderBy(*ORDER_COLS)
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        c = c.withColumn("__prior_marked",
-                         F.coalesce(F.sum((flag_a | flag_b).cast("long")).over(wprior), F.lit(0)))
+        sk = sk.withColumn("__prior_marked",
+                           F.coalesce(F.sum((flag_a | flag_b).cast("long")).over(wprior), F.lit(0)))
         dup = checkable & (F.col("__prior_marked") > 0)
         eligible = (flag_a | flag_b) & ~dup
-        c = c.withColumn("__eligible", eligible)
+        sk = sk.withColumn("__eligible", eligible)
 
         # global submission order -> dense enqueue_seq (colly Request.ID)
-        c, tot = with_ordered_counts(c, ORDER_COLS, ["__eligible"],
-                                     num_partitions=cfg.shuffle_partitions,
-                                     return_totals=True)
+        sk = sk.withColumn("__abort_elig", F.col("__eligible") & F.col("__abort"))
+        sk, tot = with_ordered_counts(sk, ORDER_COLS, ["__eligible", "__abort_elig"],
+                                      num_partitions=cfg.shuffle_partitions,
+                                      return_totals=True, pins=self._pins)
         el_before = F.col("__eligible_before")
         budget_full = (
             F.lit(cfg.max_requests > 0) & (F.lit(built) + el_before >= F.lit(cfg.max_requests or 0))
@@ -318,11 +342,15 @@ class Crawler:
             F.lit(cfg.max_queue_size > 0)
             & (F.lit(deferred_prev) + el_before >= F.lit(cfg.max_queue_size or 0))
         )
-        accepted = F.col("__eligible") & ~budget_full & ~queue_full
+        # "enqueued" = colly built the Request (ID assigned, budget spent,
+        # seen already marked); an OnRequest abort (E2/E4) then stops it
+        # BEFORE the fetch and before any politeness token is consumed
+        enqueued = F.col("__eligible") & ~budget_full & ~queue_full
+        accepted = enqueued & ~F.col("__abort")
         marked = F.col("__eligible") & ~budget_full  # queue-full rows ARE marked seen
         # requestCheck attribution order (colly.go:774-818)
         error_kind = (
-            F.when(F.col("canon_url").isNull(), "ErrURLParse")
+            F.when(F.col("__url_bad"), "ErrURLParse")
             .when(depth_bad, "ErrMaxDepth")
             .when(budget_full, "ErrMaxRequests")
             .when(F.col("__static_kind").isNotNull(), F.col("__static_kind"))
@@ -330,25 +358,37 @@ class Crawler:
             .when(checkable & (F.col("__seen_prev") | (F.col("__prior_marked") > 0)),
                   "AlreadyVisited")
             .when(queue_full, "ErrQueueFull")
+            .when(F.col("__abort"), "AbortedBeforeRequest")
             .otherwise(F.lit(None).cast("string"))
         )
-        c = (
-            c.withColumn("__accepted", accepted)
+        verdict = (
+            sk.withColumn("__accepted", accepted)
             .withColumn("__marked", marked)
             .withColumn("error_kind", error_kind)
             .withColumn(
                 "enqueue_seq",
-                F.when(accepted, el_before + F.lit(built)).cast("long"),
+                F.when(enqueued, el_before + F.lit(built)).cast("long"),
             )
-            .persist()
+            .select(*ORDER_COLS, "enqueue_seq", "error_kind", "__accepted", "__marked")
         )
+        # the only wide operation of the phase: join the skinny verdicts
+        # back onto the cached payload by the unique submission key (AQE
+        # broadcasts the verdict side while it fits; plain hash join beyond)
+        c = cwide.join(verdict, on=ORDER_COLS, how="inner").persist()
         # all counts fall out of the sequencing collect — no extra jobs
         n_submitted = tot["__rows"]
         n_eligible = tot["__eligible"]
         k_budget = (cfg.max_requests - built) if cfg.max_requests else n_eligible
         k_queue = (cfg.max_queue_size - deferred_prev) if cfg.max_queue_size else n_eligible
-        n_accepted = max(0, min(n_eligible, k_budget, k_queue))
+        n_enqueued = max(0, min(n_eligible, k_budget, k_queue))
+        if not cfg.abort_url_filters:
+            n_accepted = n_enqueued
+        elif n_enqueued == n_eligible:
+            n_accepted = n_enqueued - tot["__abort_elig"]
+        else:  # budget truncation + aborts interact: count exactly (rare)
+            n_accepted = c.where("__accepted").count()
         _t1 = _time.time()
+        spark.sparkContext.setJobDescription(f"r{rnd}:dispatch")
 
         self.store.stage_append(
             "errors",
@@ -381,18 +421,40 @@ class Crawler:
         )
 
         # ---------------- dispatch: S1 FIFO + S2 politeness ----------------
-        frontier = pending.unionByName(accepted_df)
-        dispatch, deferred = sched_op.split_dispatch(frontier, cfg)
-        dispatch, dtot = with_ordered_counts(
-            dispatch.withColumn("__one", F.lit(True)),
-            ["enqueue_seq"], ["__one"], num_partitions=cfg.shuffle_partitions,
-            return_totals=True,
+        # fast path: with no carried-over frontier and no (rule, domain)
+        # group over its token budget, nothing defers — fetch_seq is then a
+        # pure offset of enqueue_seq and the whole split + global
+        # re-sequencing pass (a sort + sample + collect over the full
+        # batch) is provably a no-op. One cheap agg over the cached
+        # submission plan decides it.
+        fast_fifo = deferred_prev == 0 and not cfg.abort_url_filters and (
+            not cfg.limit_rules
+            or c.where("__accepted")
+            .groupBy("rule_idx", "domain")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > sched_op.tokens_map_expr(cfg))
+            .isEmpty()
         )
-        dispatch = dispatch.withColumn(
-            "fetch_seq", F.col("__one_before") + F.lit(fetched)
-        ).drop("__one", "__one_before").persist()
-        n_dispatch = dtot["__one"]
+        if fast_fifo:
+            dispatch = accepted_df.withColumn(
+                "fetch_seq", F.col("enqueue_seq") - F.lit(built) + F.lit(fetched)
+            ).persist()
+            deferred = spark.createDataFrame([], schema=schemas.FRONTIER)
+            n_dispatch = n_accepted
+        else:
+            frontier = pending.unionByName(accepted_df)
+            dispatch, deferred = sched_op.split_dispatch(frontier, cfg)
+            dispatch, dtot = with_ordered_counts(
+                dispatch.withColumn("__one", F.lit(True)),
+                ["enqueue_seq"], ["__one"], num_partitions=cfg.shuffle_partitions,
+                return_totals=True, pins=self._pins,
+            )
+            dispatch = dispatch.withColumn(
+                "fetch_seq", F.col("__one_before") + F.lit(fetched)
+            ).drop("__one", "__one_before").persist()
+            n_dispatch = dtot["__one"]
         _t2 = _time.time()
+        spark.sparkContext.setJobDescription(f"r{rnd}:fetch")
         self.store.replace("pending", deferred, rnd)
         n_deferred = deferred_prev + n_accepted - n_dispatch
 
@@ -469,6 +531,15 @@ class Crawler:
             ),
         )
 
+        # S4: salt+repartition the NARROW dispatch batch (a real fetcher
+        # would run right here as a mapInPandas: urls in, bodies out), stamp
+        # the fetch-budget partition for lineage, THEN join the content —
+        # page bodies are the ~100 TB side and must never ride an extra
+        # shuffle just to get balanced fetch partitions
+        target = max(64, n_dispatch // max(cfg.shuffle_partitions, 1) or 1)
+        d = sched_op.salted_repartition(d, cfg.shuffle_partitions, target)
+        d = d.withColumn("fetch_partition", F.spark_partition_id())
+
         page_cols = self.pages.select(
             F.col("url").alias("__pu"),
             F.col("status").alias("page_status"),
@@ -481,14 +552,26 @@ class Crawler:
         d = d.join(
             page_cols, F.col("__effective_url") == F.col("__pu"), "left"
         ).drop("__pu")
-
-        # X1 fetch executor over the salted domain-keyed batch (S4)
-        target = max(64, n_dispatch // max(cfg.shuffle_partitions, 1) or 1)
-        d = sched_op.salted_repartition(d, cfg.shuffle_partitions, target)
-        exec_fn, exec_schema = make_fetch_exec(cfg, d.schema)
-        d = d.mapInPandas(exec_fn, schema=exec_schema).persist()
-
+        d = d.withColumn("fetch_ms", fetch_ms_col(cfg))
+        # run extraction INSIDE the one persisted fetch frame and drop the
+        # body before caching: the parse UDF then provably runs exactly once
+        # per page, and the round cache holds skinny match structs instead
+        # of page bodies (the bodies are the ~100 TB column at scale)
+        aborted = F.col("__abort_kind2").isNotNull()
         status = F.coalesce("page_status", F.lit(0))
+        parse_ok = (
+            ~aborted
+            & F.col("page_status").isNotNull()
+            & ((status < 300) | F.lit(cfg.parse_http_error_response))
+        )
+        d = d.withColumn(
+            "__m",
+            self.extract_udf(
+                F.when(parse_ok, F.col("page_body")),
+                "page_content_type", "__effective_url", "page_base_href",
+            ),
+        ).drop("page_body").persist()
+
         visits = d.select(
             "fetch_seq", "enqueue_seq",
             F.col("canon_url").alias("url"), "url_hash", "domain", "depth",
@@ -506,7 +589,6 @@ class Crawler:
             rnd,
         )
 
-        aborted = F.col("__abort_kind2").isNotNull()
         fetch_errors = d.where(
             aborted | F.col("page_status").isNull() | (status >= 300)
         ).select(
@@ -521,25 +603,15 @@ class Crawler:
         )
         self.store.stage_append("errors", fetch_errors, rnd)
         _t3 = _time.time()
+        spark.sparkContext.setJobDescription(f"r{rnd}:parse")
 
         # ---------------- parse: P1-P11 ----------------
-        parse_ok = (
-            ~aborted
-            & F.col("page_status").isNotNull()
-            & ((status < 300) | F.lit(cfg.parse_http_error_response))
-        )
-        parsed = (
-            d.where(parse_ok)
-            .withColumn(
-                "__m",
-                self.extract_udf("page_body", "page_content_type", "__effective_url",
-                                 "page_base_href"),
-            )
-            .select(
-                "fetch_seq", "depth", "ctx", "__effective_url", "url_hash",
-                F.explode("__m").alias("m"),
-            )
-            .persist()
+        # matches were already extracted into d's cached __m column (exactly
+        # one parse per page); exploding the skinny structs is cheap enough
+        # to do per consumer
+        parsed = d.select(
+            "fetch_seq", "depth", "ctx", "__effective_url", "url_hash",
+            F.explode("__m").alias("m"),
         )
         children = parsed.where(F.col("m.kind") == "link").select(
             F.col("m.value").alias("url_raw"),
@@ -566,26 +638,42 @@ class Crawler:
             F.col("image_id").alias("__iid"), "bytes", "w", "h", "fmt",
             F.col("caption").alias("caption_ref"), "phash",
         )
-        # plain key join: the payload table is the ~100 TB side at scale —
-        # never broadcast it; AQE broadcasts automatically when it IS small
-        results = (
-            image_rows.join(img, image_rows.image_id == F.col("__iid"), "left")
+        # decode once per DISTINCT image_id (pages share logos/thumbnails —
+        # per-reference decoding redoes identical pixel work hundreds of
+        # times), then join the skinny verdicts back onto the refs. The
+        # payload table is the ~100 TB side at scale — never broadcast it;
+        # AQE broadcasts automatically when it IS small.
+        verdicts = (
+            image_rows.select("image_id").distinct()
+            .join(img, F.col("image_id") == F.col("__iid"), "left")
             .withColumn(
                 "__v",
-                self.validate_udf("bytes", "image_id", "w", "h", "fmt", "phash",
-                                  "caption_parsed", "caption_ref"),
+                self.validate_udf("bytes", "image_id", "w", "h", "fmt", "phash"),
             )
+            .select(
+                "image_id",
+                F.col("__v.img_ok").alias("__img_ok"),
+                F.col("__v.psnr_db").alias("psnr_db"),
+                "caption_ref",
+            )
+        )
+        results = (
+            image_rows.join(verdicts, "image_id", "left")
             .join(d.select("fetch_seq", F.coalesce("page_status", F.lit(0)).alias("status")),
                   "fetch_seq")
             .select(
                 "fetch_seq", F.col("__effective_url").alias("url"), "depth", "status",
                 "image_id", F.col("caption_parsed").alias("caption"),
-                F.col("__v.payload_ok").alias("payload_ok"),
-                F.col("__v.psnr_db").alias("psnr_db"), F.lit(rnd).alias("round"),
+                payload_op.payload_ok_col(
+                    F.col("__img_ok"), F.col("caption_parsed"), F.col("caption_ref")
+                ).alias("payload_ok"),
+                F.coalesce("psnr_db", F.lit("0.0")).alias("psnr_db"),
+                F.lit(rnd).alias("round"),
             )
         )
         self.store.stage_append("results", results, rnd)
         _t4 = _time.time()
+        spark.sparkContext.setJobDescription(f"r{rnd}:commit")
 
         # ---------------- commit ----------------
         # iteratively-read state gets its Catalyst lineage truncated every
@@ -595,15 +683,16 @@ class Crawler:
         self.store.compact(
             ["url_seen", "pending", "candidates", "robots_cache", "seen_filters"]
         )
-        self._pins.extend([c, dispatch, d, parsed])
+        self._pins.extend([c, dispatch, d])
         if len(self._pins) >= 16:
             self._flush_pins()
         self.store.commit_round(
             rnd,
-            {"built": built + n_accepted, "fetched": fetched + n_dispatch,
+            {"built": built + n_enqueued, "fetched": fetched + n_dispatch,
              "pending": n_deferred},
         )
         _t5 = _time.time()
+        spark.sparkContext.setJobDescription(None)
         self.stats.append(
             RoundStats(
                 rnd, n_submitted, n_accepted, n_dispatch, n_deferred, n_children,
@@ -621,6 +710,15 @@ class Crawler:
         for df in self._pins:
             df.unpersist()
         self._pins = []
+
+
+def _abort_match(cfg: CrawlConfig, canon_url):
+    """OnRequest-abort predicate (E2): any abort regex matches the canonical
+    URL. Plan-constant rlike fold — false when no filters are registered."""
+    out = F.lit(False)
+    for pat in cfg.abort_url_filters:
+        out = out | canon_url.rlike(pat)
+    return F.coalesce(out, F.lit(False))
 
 
 def _count(df: DataFrame) -> int:

@@ -19,17 +19,11 @@ a broadcast at 10^10 scale.
 
 from __future__ import annotations
 
-import hashlib
-
-import numpy as np
 import pandas as pd
-from pyspark import TaskContext
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
-    IntegerType,
-    LongType,
     StringType,
     StructField,
     StructType,
@@ -85,55 +79,32 @@ def make_resolver_udf(spark, cfg: CrawlConfig, redirect_map: dict[str, str]):
     return F.pandas_udf(resolve_pd, RESOLVE_SCHEMA)
 
 
-FETCH_EXEC_FIELDS = [
-    StructField("fetch_ms", LongType()),
-    StructField("fetch_partition", IntegerType()),
-]
+def fetch_ms_col(cfg: CrawlConfig):
+    """Synthetic fetch-time model as a pure JVM column expression:
+    serve_delay + first-matching rule's Delay + a seeded deterministic
+    stand-in for RandomDelay (http_backend.go:202-214) —
+    ``xxhash64(seed, url_hash) mod random_delay``, never wall-clock.
 
+    This used to be a ``mapInPandas`` executor, which piped the whole
+    fetched row set (page bodies included) through Arrow just to add two
+    integers — the single widest Python round-trip in the engine. A REAL
+    network fetcher is still a ``mapInPandas`` over the salted
+    domain-keyed batch (narrow: urls in, bodies out) and slots back into
+    the same engine seam; the synthetic model has no business leaving the
+    JVM."""
+    from pyspark.sql import Column
 
-def make_fetch_exec(cfg: CrawlConfig, in_schema: StructType):
-    """The partition-parallel fetch executor (mapInPandas over the salted
-    domain-keyed batch). Synthetic timing: serve_delay + rule delay + a
-    seeded pseudo-random component standing in for RandomDelay
-    (http_backend.go:202-214) — deterministic in (seed, url_hash), never
-    wall-clock. Emits the physical partition id for the lineage table."""
-    delays = [r.delay_ms for r in cfg.limit_rules]
-    rnd_delays = [r.random_delay_ms for r in cfg.limit_rules]
-    seed = cfg.seed
-    out_schema = StructType(in_schema.fields + FETCH_EXEC_FIELDS)
-
-    def exec_pd(batches):
-        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
-        for pdf in batches:
-            n = len(pdf)
-            if n == 0:
-                continue
-            rule = pdf["rule_idx"].fillna(-1).astype(int).to_numpy()
-            base = pdf["serve_delay_ms"].fillna(0).astype(int).to_numpy()
-            delay = np.zeros(n, dtype=np.int64)
-            for i, d in enumerate(delays):
-                delay[rule == i] = d
-            rand = np.zeros(n, dtype=np.int64)
-            for i, rd in enumerate(rnd_delays):
-                if rd:
-                    mask = rule == i
-                    if mask.any():
-                        h = np.array(
-                            [
-                                _det_u64(seed, int(uh)) % rd
-                                for uh in pdf.loc[mask, "url_hash"]
-                            ],
-                            dtype=np.int64,
-                        )
-                        rand[mask] = h
-            pdf = pdf.copy()
-            pdf["fetch_ms"] = base + delay + rand
-            pdf["fetch_partition"] = pid
-            yield pdf
-
-    return exec_pd, out_schema
-
-
-def _det_u64(seed: int, url_hash: int) -> int:
-    key = f"{seed}:{url_hash}".encode()
-    return int.from_bytes(hashlib.blake2b(key, digest_size=8).digest(), "big")
+    delay: Column = F.lit(0).cast("long")
+    rand: Column = F.lit(0).cast("long")
+    for idx in reversed(range(len(cfg.limit_rules))):
+        r = cfg.limit_rules[idx]
+        delay = F.when(F.col("rule_idx") == idx, F.lit(r.delay_ms).cast("long")).otherwise(delay)
+        if r.random_delay_ms:
+            rand = F.when(
+                F.col("rule_idx") == idx,
+                F.pmod(
+                    F.xxhash64(F.lit(cfg.seed), F.col("url_hash")),
+                    F.lit(r.random_delay_ms),
+                ),
+            ).otherwise(rand)
+    return F.coalesce(F.col("serve_delay_ms"), F.lit(0)).cast("long") + delay + rand

@@ -95,10 +95,15 @@ class _Extractor(HTMLParser):
 
 
 def extract_one(body: bytes | None, content_type: str | None, page_url: str | None,
-                base_href_col: str | None) -> list[tuple]:
+                base_href_col: str | None, follow_links: bool = True,
+                extract_images: bool = True) -> list[tuple]:
     """Extract matches from one page. Pure function — used by the pandas UDF
-    and unit tests alike."""
+    and unit tests alike. ``follow_links`` / ``extract_images`` mirror which
+    OnHTML selectors are registered (E2/E3: colly.go:929-1051, detach
+    colly.go:1008-1029)."""
     if body is None or not is_html_content_type(content_type):
+        return []
+    if not follow_links and not extract_images:
         return []
     try:
         text = bytes(body).decode("utf-8", errors="replace")
@@ -117,30 +122,32 @@ def extract_one(body: bytes | None, content_type: str | None, page_url: str | No
         # <base href> itself may be relative to the document URL
         base = absolutize(page_url, p.base_href) or page_url
     out: list[tuple] = []
-    for i, href in enumerate(p.links):
-        absu = absolutize(base, href)
-        if absu is None:  # fragment-only (request.go:102-104)
-            continue
-        out.append((0, i, "link", absu, None))
-    for i, (src, caption) in enumerate(p.images):
-        image_id = src[6:] if src.startswith("img://") else src
-        out.append((1, i, "image", image_id, caption))
+    if follow_links:
+        for i, href in enumerate(p.links):
+            absu = absolutize(base, href)
+            if absu is None:  # fragment-only (request.go:102-104)
+                continue
+            out.append((0, i, "link", absu, None))
+    if extract_images:
+        for i, (src, caption) in enumerate(p.images):
+            image_id = src[6:] if src.startswith("img://") else src
+            out.append((1, i, "image", image_id, caption))
     return out
 
 
-def extract_matches_pd(
-    body: pd.Series, content_type: pd.Series, page_url: pd.Series, base_href: pd.Series
-) -> pd.Series:
-    return pd.Series(
-        [
-            extract_one(b, ct, u, bh)
-            for b, ct, u, bh in zip(body, content_type, page_url, base_href)
-        ],
-        dtype="object",
-    )
-
-
-def make_extract_udf():
+def make_extract_udf(follow_links: bool = True, extract_images: bool = True):
     from pyspark.sql import functions as F
+
+    def extract_matches_pd(
+        body: pd.Series, content_type: pd.Series, page_url: pd.Series,
+        base_href: pd.Series,
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                extract_one(b, ct, u, bh, follow_links, extract_images)
+                for b, ct, u, bh in zip(body, content_type, page_url, base_href)
+            ],
+            dtype="object",
+        )
 
     return F.pandas_udf(extract_matches_pd, MATCH_SCHEMA)

@@ -33,6 +33,7 @@ def with_ordered_counts(
     flag_cols: list[str],
     num_partitions: int | None = None,
     return_totals: bool = False,
+    pins: list | None = None,
 ):
     """For each flag column ``f`` add ``f + '_before'``: the number of rows
     with that flag set that come strictly before this row in the global
@@ -48,7 +49,12 @@ def with_ordered_counts(
         return (df, {}) if return_totals else df
     n = num_partitions or max(df.sparkSession.sparkContext.defaultParallelism, 4)
     sorted_df = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
+    # the sorted frame is read by the counts pass and the assign pass; the
+    # caller owns its release via ``pins`` (otherwise it stays cached until
+    # the context GC gets around to it — a real leak in iterative jobs)
     sorted_df = sorted_df.persist()
+    if pins is not None:
+        pins.append(sorted_df)
     # pass 1: per-partition flag totals (tiny driver collect: one row/partition)
     counts = (
         sorted_df.groupBy(F.spark_partition_id().alias("__pid"))

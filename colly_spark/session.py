@@ -32,4 +32,12 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    eventlog_dir = os.environ.get("SPARK_EVENTLOG_DIR")
+    if eventlog_dir:
+        os.makedirs(eventlog_dir, exist_ok=True)
+        b = (
+            b.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", eventlog_dir)
+            .config("spark.eventLog.compress", "false")
+        )
     return b.getOrCreate()

@@ -115,6 +115,12 @@ def simulate(site: Site, seeds: list[dict], cfg: CrawlConfig, max_rounds: int | 
         built_requests += 1
         cand = dict(cand, canon_url=canon, domain=domain, enqueue_seq=enqueue_counter)
         enqueue_counter += 1
+        # E2/E4 OnRequest abort: Request built (ID assigned, budget spent,
+        # seen marked) but never fetched — and no politeness token consumed
+        # (the LimitRule semaphore sits inside backend.Do, past the abort)
+        if any(p.search(canon) for p in cfg.compiled_aborts()):
+            res.errors.append(_err(None, canon, cand["depth"], "AbortedBeforeRequest", rnd))
+            return
         pending.append(cand)
 
     def fetch_one(cand: dict, rnd: int) -> None:
@@ -184,7 +190,7 @@ def simulate(site: Site, seeds: list[dict], cfg: CrawlConfig, max_rounds: int | 
         if not _is_html(page):
             return
         base = page.get("base_href") or cur
-        for li, raw in enumerate(page["links"] or []):
+        for li, raw in enumerate(page["links"] or [] if cfg.follow_links else []):
             child_url = absolutize(base, raw)
             if child_url is None:
                 continue  # fragment-only (request.go:102-104)
@@ -201,7 +207,7 @@ def simulate(site: Site, seeds: list[dict], cfg: CrawlConfig, max_rounds: int | 
                     "link_idx": li,
                 }
             )
-        if ok:
+        if ok and cfg.extract_images:
             for iid in page.get("image_refs") or []:
                 img = site.images_by_id().get(iid)
                 res.results.append(

@@ -1,0 +1,130 @@
+"""Collector facade (U1/U2/E2/E3/F7), OnRequest abort parity, selector
+detach parity, extensions (U4), COLLY_* env config."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from colly_spark.collector import Collector, from_env
+from colly_spark.config import CrawlConfig
+from colly_spark.engine import Crawler
+from colly_spark.extensions import (
+    DEFAULT_UA_POOL,
+    random_user_agent_col,
+    referer_col,
+)
+from colly_spark.fixtures import SiteSpec, build_site, make_seeds, site_to_spark
+from colly_spark.simulator import simulate
+
+SPEC = SiteSpec(n_domains=2, pages_per_domain=8)
+SITE = build_site(SPEC)
+
+
+@pytest.fixture(scope="module")
+def tabs(spark):
+    return {k: v.cache() for k, v in site_to_spark(spark, SITE).items()}
+
+
+def test_collector_facade_end_to_end(spark, tabs):
+    seen_tables = []
+    col = (
+        Collector(spark, tabs["pages"], tabs["images"], tabs["robots"],
+                  max_depth=3, ignore_robots_txt=False)
+        .on_html("a[href]")
+        .on_html("figure img + figcaption")
+        .on_response(lambda df: seen_tables.append(("visits", df.count())))
+        .on_error(lambda df: seen_tables.append(("errors", df.count())))
+        .on_scraped(lambda df: seen_tables.append(("results", df.count())))
+        .visit("http://d00.test/page/0")
+    )
+    out = col.wait(max_rounds=6)
+    sim = simulate(SITE, make_seeds(["http://d00.test/page/0"]),
+                   CrawlConfig(max_depth=3, ignore_robots_txt=False), max_rounds=6)
+    eng = [(r["fetch_seq"], r["url"]) for r in out["visits"].orderBy("fetch_seq").collect()]
+    assert eng == [(v["fetch_seq"], v["url"]) for v in sim.visits]
+    assert dict(seen_tables)["visits"] == len(sim.visits)
+    # F7 point lookups
+    assert col.has_visited("http://d00.test/page/0")
+    assert not col.has_visited("http://d00.test/never-seen")
+    # U2 clone: fresh callbacks (selectors reset), same config otherwise
+    c2 = col.clone()
+    assert c2.cfg.max_depth == 3
+    assert not c2.cfg.follow_links and not c2.cfg.extract_images
+
+
+def test_unsupported_selector_rejected(spark, tabs):
+    col = Collector(spark, tabs["pages"], tabs["images"], tabs["robots"])
+    with pytest.raises(ValueError, match="unsupported selector"):
+        col.on_html("div.article > p:nth-child(2)")
+
+
+def test_detach_stops_link_follow_parity(spark, tabs):
+    """OnHTMLDetach (E3): with the link selector off, only seeds fetch —
+    engine and simulator agree."""
+    cfg = CrawlConfig(max_depth=4, ignore_robots_txt=False,
+                      follow_links=False, extract_images=True)
+    seeds = make_seeds(["http://d00.test/page/0", "http://d01.test/page/1"])
+    cr = Crawler(spark, cfg, tabs["pages"], tabs["images"], tabs["robots"])
+    out = cr.run(seeds, max_rounds=4)
+    sim = simulate(SITE, seeds, cfg, max_rounds=4)
+    eng = [(r["fetch_seq"], r["url"]) for r in out["visits"].orderBy("fetch_seq").collect()]
+    assert eng == [(v["fetch_seq"], v["url"]) for v in sim.visits]
+    assert len(eng) == 2  # nothing followed
+    assert out["results"].count() == len(sim.results) > 0  # images still on
+
+
+def test_on_request_abort_parity(spark, tabs):
+    """E2/E4: aborted URLs are seen-marked and budget-counted but never
+    fetched; visit order stays equal to the simulator."""
+    cfg = CrawlConfig(max_depth=3, ignore_robots_txt=False,
+                      abort_url_filters=(r"/page/[24]$",))
+    seeds = make_seeds(["http://d00.test/page/0"])
+    cr = Crawler(spark, cfg, tabs["pages"], tabs["images"], tabs["robots"])
+    out = cr.run(seeds, max_rounds=6)
+    sim = simulate(SITE, seeds, cfg, max_rounds=6)
+    eng = [(r["fetch_seq"], r["url"]) for r in out["visits"].orderBy("fetch_seq").collect()]
+    assert eng == [(v["fetch_seq"], v["url"]) for v in sim.visits]
+    assert all("/page/2" not in u and "/page/4" not in u for _, u in eng)
+    eng_err = sorted((r["url"], r["error_kind"]) for r in out["errors"].collect())
+    sim_err = sorted((e["url"], e["error_kind"]) for e in sim.errors)
+    assert eng_err == sim_err
+    assert any(k == "AbortedBeforeRequest" for _, k in eng_err)
+    # aborted URLs are marked seen (colly builds the Request first)
+    eng_seen = {r["url_hash"] for r in out["url_seen"].collect()}
+    exp = {
+        r["h"]
+        for r in spark.createDataFrame(
+            [(u, b if b else b"") for u, b in sim.seen_keys], "url string, body binary"
+        ).select(F.xxhash64("url", "body").alias("h")).collect()
+    }
+    assert eng_seen == exp
+
+
+def test_extensions_columns(spark):
+    df = spark.range(100).select(F.xxhash64("id").alias("url_hash"),
+                                 F.lit("http://parent").alias("parent_url"))
+    out = df.select(
+        random_user_agent_col().alias("ua"), referer_col().alias("referer")
+    ).collect()
+    uas = {r["ua"] for r in out}
+    assert uas.issubset(set(DEFAULT_UA_POOL)) and len(uas) > 1
+    assert all(r["referer"] == "http://parent" for r in out)
+    # deterministic across evaluations
+    out2 = df.select(random_user_agent_col().alias("ua")).collect()
+    assert [r["ua"] for r in out] == [r["ua"] for r in out2]
+
+
+def test_from_env():
+    cfg = from_env(env={
+        "COLLY_USER_AGENT": "ua-x",
+        "COLLY_MAX_DEPTH": "7",
+        "COLLY_ALLOWED_DOMAINS": "a.test,b.test",
+        "COLLY_ALLOW_URL_REVISIT": "true",
+        "COLLY_IGNORE_ROBOTSTXT": "false",
+        "COLLY_MAX_REQUESTS": "9",
+    })
+    assert cfg.user_agent == "ua-x"
+    assert cfg.max_depth == 7
+    assert cfg.allowed_domains == ("a.test", "b.test")
+    assert cfg.allow_url_revisit is True
+    assert cfg.ignore_robots_txt is False
+    assert cfg.max_requests == 9
