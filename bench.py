@@ -61,11 +61,15 @@ def crawl_bench(spark, n_domains: int, pages_per_domain: int) -> dict:
         F.lit(None).cast("binary").alias("body"),
         F.create_map().cast("map<string,string>").alias("ctx"),
     )
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+    # politeness budget is part of the JOB, not the cluster: hold the rule
+    # constant across parallelism levels so N-vs-4N runs are the same crawl
+    rule_par = int(os.environ.get("BENCH_RULE_PARALLELISM", "16"))
     cfg = CrawlConfig(
         max_depth=2,
         ignore_robots_txt=False,
-        limit_rules=(LimitRule(domain_glob="*.test", delay_ms=0, parallelism=cpus),),
-        shuffle_partitions=cpus,
+        limit_rules=(LimitRule(domain_glob="*.test", delay_ms=0, parallelism=rule_par),),
+        shuffle_partitions=shuffle,
     )
     crawler = Crawler(spark, cfg, pages, images, robots)
     t0 = time.time()
@@ -94,7 +98,10 @@ def main() -> None:
     from colly_spark.session import build_session
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = build_session("colly-spark-bench")
+    spark = build_session(
+        "colly-spark-bench",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", 0)) or None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     n_domains = int(os.environ.get("BENCH_DOMAINS", "100"))

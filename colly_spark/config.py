@@ -81,6 +81,11 @@ class CrawlConfig:
     max_url_length: int = 0  # extensions/url_length_filter.go:8-14 (0 = off)
     max_redirects: int = 10  # colly.go:1516-1519
     max_queue_size: int = 0  # queue/queue.go:234-236 (0 = unbounded)
+    # X2 response cache (http_backend.go:157-200): GET-only, 5xx never
+    # cached; 0 expiration = never expires (CacheExpiration :166-170).
+    # Off by default like a colly Collector without CacheDir (colly.go:91).
+    fetch_cache_enabled: bool = False
+    cache_expiration_rounds: int = 0
 
     # E2/E3 callback surface (colly.go:929-1051): which extractors are
     # active (OnHTML / OnHTMLDetach) and declarative OnRequest-abort

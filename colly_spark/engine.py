@@ -76,6 +76,7 @@ STATE_SCHEMAS = {
     "pending": schemas.FRONTIER,
     "candidates": CANDIDATES,
     "seen_filters": bloomseen.SEEN_FILTERS,
+    "fetch_cache": schemas.FETCH_CACHE,
 }
 
 
@@ -172,6 +173,7 @@ class Crawler:
             "url_seen": self.store.get("url_seen"),
             "lineage": self.store.get("lineage"),
             "robots_cache": self.store.get("robots_cache"),
+            "fetch_cache": self.store.get("fetch_cache"),
         }
 
     def _seed_candidates(self, seeds) -> DataFrame:
@@ -458,7 +460,40 @@ class Crawler:
         self.store.replace("pending", deferred, rnd)
         n_deferred = deferred_prev + n_accepted - n_dispatch
 
-        # ---------------- fetch: X3 redirects + X1 content join ------------
+        # ---------------- fetch: X2 cache + X3 redirects + X1 content join -
+        # X2 (http_backend.go:157-200): GET dispatch rows with a live cache
+        # entry skip redirect resolution, hop seen-marking, the content join
+        # and the politeness service time entirely (colly's cache sits in
+        # backend.Cache, BEFORE Do and its semaphore/sleep). Cached rows
+        # rejoin the pipeline as already-fetched responses.
+        hit = None
+        disp_cols = dispatch.columns
+        if cfg.fetch_cache_enabled:
+            wcache = Window.partitionBy("url_hash").orderBy(F.desc("fetched_round"))
+            cache_tbl = self.store.get("fetch_cache")
+            if cfg.cache_expiration_rounds:
+                cache_tbl = cache_tbl.where(
+                    F.col("fetched_round") > F.lit(rnd - 1 - cfg.cache_expiration_rounds)
+                )
+            cache_tbl = (
+                cache_tbl.withColumn("__rn", F.row_number().over(wcache))
+                .where(F.col("__rn") == 1)
+                .select(
+                    F.col("url_hash").alias("__ch"),
+                    F.col("final_url").alias("__c_final"),
+                    F.col("status").alias("__c_status"),
+                    F.col("content_type").alias("__c_ct"),
+                    F.col("body").alias("__c_body"),
+                    F.col("base_href").alias("__c_bh"),
+                )
+            )
+            dj = dispatch.join(cache_tbl, dispatch.url_hash == F.col("__ch"), "left")
+            is_hit = (F.col("method") == GET) & F.col("__c_status").isNotNull()
+            hit = dj.where(is_hit)
+            dispatch = dj.where(~is_hit).drop(
+                "__ch", "__c_final", "__c_status", "__c_ct", "__c_body", "__c_bh"
+            )
+
         d = dispatch.withColumn("__r", self.resolver_udf("canon_url"))
         d = d.select("*", "__r.final_url", "__r.hops", "__r.is_cycle", "__r.abort_kind").drop("__r")
         seen_now = self.store.get("url_seen").select("url_hash").distinct()
@@ -546,13 +581,36 @@ class Crawler:
             F.col("content_type").alias("page_content_type"),
             F.col("body").alias("page_body"),
             F.col("base_href").alias("page_base_href"),
-            F.col("image_refs").alias("page_image_refs"),
             F.col("serve_delay_ms").alias("serve_delay_ms"),
         )
         d = d.join(
             page_cols, F.col("__effective_url") == F.col("__pu"), "left"
         ).drop("__pu")
         d = d.withColumn("fetch_ms", fetch_ms_col(cfg))
+        d = d.withColumn("__cache_hit", F.lit(False))
+        if hit is not None:
+            # cached responses rejoin as already-fetched rows: no redirect
+            # hops, no service time (colly's cache path never reaches the
+            # LimitRule semaphore), partition of wherever they sit
+            hit_shaped = hit.select(
+                *disp_cols,
+                F.col("__c_final").alias("final_url"),
+                F.lit(None).cast("array<string>").alias("hops"),
+                F.lit(False).alias("is_cycle"),
+                F.lit(None).cast("string").alias("abort_kind"),
+                F.lit(None).cast("int").alias("abort_idx"),
+                F.col("__c_final").alias("__effective_url"),
+                F.lit(None).cast("string").alias("__abort_kind2"),
+                F.spark_partition_id().alias("fetch_partition"),
+                F.col("__c_status").alias("page_status"),
+                F.col("__c_ct").alias("page_content_type"),
+                F.col("__c_body").alias("page_body"),
+                F.col("__c_bh").alias("page_base_href"),
+                F.lit(None).cast("int").alias("serve_delay_ms"),
+                F.lit(0).cast("long").alias("fetch_ms"),
+                F.lit(True).alias("__cache_hit"),
+            )
+            d = d.unionByName(hit_shaped)
         # run extraction INSIDE the one persisted fetch frame and drop the
         # body before caching: the parse UDF then provably runs exactly once
         # per page, and the round cache holds skinny match structs instead
@@ -570,7 +628,10 @@ class Crawler:
                 F.when(parse_ok, F.col("page_body")),
                 "page_content_type", "__effective_url", "page_base_href",
             ),
-        ).drop("page_body").persist()
+        )
+        # bodies stay out of the round cache — except when the response
+        # cache is on, which needs them for the write-back below
+        d = (d if cfg.fetch_cache_enabled else d.drop("page_body")).persist()
 
         visits = d.select(
             "fetch_seq", "enqueue_seq",
@@ -602,6 +663,29 @@ class Crawler:
             F.lit(rnd).alias("round"),
         )
         self.store.stage_append("errors", fetch_errors, rnd)
+        if cfg.fetch_cache_enabled:
+            # write-back: GET misses, final response after redirects, 5xx
+            # never cached (http_backend.go:177-182)
+            self.store.stage_append(
+                "fetch_cache",
+                d.where(
+                    ~F.col("__cache_hit")
+                    & (F.col("method") == GET)
+                    & ~aborted
+                    & F.col("page_status").isNotNull()
+                    & (F.col("page_status") < 500)
+                ).select(
+                    "url_hash",
+                    F.col("__effective_url").alias("final_url"),
+                    F.col("page_status").alias("status"),
+                    F.col("page_content_type").alias("content_type"),
+                    F.col("page_body").alias("body"),
+                    F.col("page_base_href").alias("base_href"),
+                    "serve_delay_ms",
+                    F.lit(rnd).alias("fetched_round"),
+                ),
+                rnd,
+            )
         _t3 = _time.time()
         spark.sparkContext.setJobDescription(f"r{rnd}:parse")
 
@@ -681,7 +765,8 @@ class Crawler:
         # read at the end, not inside the loop), with their upstream
         # intermediates pinned in cache until that flush
         self.store.compact(
-            ["url_seen", "pending", "candidates", "robots_cache", "seen_filters"]
+            ["url_seen", "pending", "candidates", "robots_cache", "seen_filters",
+             "fetch_cache"]
         )
         self._pins.extend([c, dispatch, d])
         if len(self._pins) >= 16:

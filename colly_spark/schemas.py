@@ -113,6 +113,21 @@ VISITS = _s(  # dispatch-order trace: the golden-equality surface
     StructField("round", IntegerType()),
 )
 
+# X2 response cache (http_backend.go:157-200): GET-only, keyed by the
+# request URL hash, 5xx never cached (:177-182), entries expire after
+# cache_expiration_rounds (CacheExpiration :166-170). Stores the page-shaped
+# response columns the fetch stage would otherwise re-resolve.
+FETCH_CACHE = _s(
+    StructField("url_hash", LongType()),
+    StructField("final_url", StringType()),
+    StructField("status", IntegerType()),
+    StructField("content_type", StringType()),
+    StructField("body", BinaryType()),
+    StructField("base_href", StringType()),
+    StructField("serve_delay_ms", IntegerType()),
+    StructField("fetched_round", IntegerType()),
+)
+
 # ---------------- fixture tables (FIXTURES.md) ----------------
 
 PAGES = _s(
