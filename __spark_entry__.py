@@ -155,7 +155,7 @@ def q_lineage_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """E5 lineage aggregates == per-(stage,partition) counts/sums."""
     e = _read(spark, sf, "events")
     return (
-        e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        e.groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
         .agg(F.count("*").alias("urls_in"), F.round(F.sum("value"), 4).alias("work"))
         .orderBy("event_type", "day")
     )
@@ -316,7 +316,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100
         """,
         "q_lineage_rollup": """
-            SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS urls_in,
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS urls_in,
                    ROUND(SUM(value), 4) AS work
             FROM events GROUP BY event_type, day ORDER BY event_type, day
         """,
