@@ -137,15 +137,16 @@ def update_filters(
 
 
 def make_might_contain_udf(spark, filters_df: DataFrame, m: int, k: int):
-    """Vectorized (url_hash, domain_hash) -> might_contain boolean column.
+    """Vectorized (url_hash, domain_hash) -> might_contain boolean column,
+    broadcast delivery. Returns ``(udf, broadcast_handle)`` — the caller owns
+    the handle and must destroy the previous round's broadcast once its jobs
+    are done, or broadcast memory accrues linearly over rounds.
 
-    Sandbox strategy: the filter set is small (partitions × m/8 bytes), so
-    it is broadcast to executors and each Arrow batch is tested against its
-    rows' filters with numpy bit ops, grouped by domain_hash. At the 10^10
-    design point the same ``membership`` kernel runs inside a
-    ``mapPartitions`` over the frontier *bucketed by domain_hash* with each
-    task reading only its own partition's filter blob — the kernel and the
-    on-disk layout are shared; only the delivery of the bits differs.
+    Broadcast delivery is the small-filter-set strategy (total bytes =
+    partitions × m/8, known statically from config); beyond
+    ``bloom_delivery_threshold`` the engine switches to
+    :func:`cogroup_might_contain`, which never moves the whole filter set to
+    any single node.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -167,4 +168,41 @@ def make_might_contain_udf(spark, filters_df: DataFrame, m: int, k: int):
             out[sel] = membership(bits, uh[sel], m, k)
         return pd.Series(out)
 
-    return might_contain
+    return might_contain, bc
+
+
+def cogroup_might_contain(
+    rows: DataFrame, filters_df: DataFrame, m: int, k: int, key_col: str = "__dh"
+) -> DataFrame:
+    """Partition-local probe delivery (the 10^10-scale path, SURVEY.md §4.3):
+    candidates and filters are cogrouped on the domain-hash partition key, so
+    each task reads exactly ONE filter blob — its own partition's — and the
+    full filter set (≈12 GiB at the design point) never funnels through the
+    driver or a broadcast. Adds ``__maybe`` to ``rows``.
+
+    ``rows`` must carry ``url_hash`` and ``key_col``; the probe is the same
+    vectorized :func:`membership` kernel as broadcast delivery — only the
+    delivery of the bits differs, which is what keeps the two modes
+    parity-testable against each other.
+    """
+    from pyspark.sql.types import BooleanType
+
+    out_schema = StructType(list(rows.schema.fields) + [StructField("__maybe", BooleanType())])
+    cols = [f.name for f in rows.schema.fields]
+
+    def probe(left: pd.DataFrame, filt: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame(columns=cols + ["__maybe"])
+        if len(filt) == 0:  # no filter yet for this partition -> all new
+            left["__maybe"] = False
+            return left
+        bits = np.frombuffer(filt["bits"].iloc[0], dtype=np.uint8)
+        uh = left["url_hash"].to_numpy(dtype=np.int64)
+        left["__maybe"] = membership(bits, uh, m, k)
+        return left
+
+    return (
+        rows.groupBy(key_col)
+        .cogroup(filters_df.groupBy(F.col("domain_hash").alias(key_col)))
+        .applyInPandas(probe, schema=out_schema)
+    )

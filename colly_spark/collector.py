@@ -80,22 +80,96 @@ class Collector:
 
     # ---------------- registration (E2/E3) ----------------
 
-    def on_html(self, selector: str) -> "Collector":
-        field = SUPPORTED_SELECTORS.get(selector)
-        if field is None:
-            raise ValueError(
-                f"unsupported selector {selector!r}; the parse stage implements "
-                f"{sorted(SUPPORTED_SELECTORS)} (SURVEY.md §2 P3/P9)"
-            )
-        self.cfg = replace(self.cfg, **{field: True})
+    def on_html(
+        self,
+        selector: str,
+        follow: bool = False,
+        attr: str | None = None,
+        fields: dict | None = None,
+        name: str | None = None,
+    ) -> "Collector":
+        """Register an OnHTML extractor (colly.go:929-942).
+
+        The two crawl built-ins keep their shortcut forms (``a[href]``
+        follows links, the figure/img selectors extract the image payload —
+        these are the parity-verified pipeline). Any other CSS selector
+        registers a general extractor: ``follow=True`` feeds matched
+        ``attr`` (default href) links into the frontier
+        (request.go:122-124); otherwise matches land in the ``elements``
+        output table with tag/Text/attrs (htmlelement.go:25-63) plus a
+        declarative ``fields`` Unmarshal schema (unmarshal.go:51-223):
+        ``{field: "child selector"}`` for ChildText or
+        ``{field: ("child selector", "attr")}`` for ChildAttr.
+        """
+        shortcut = SUPPORTED_SELECTORS.get(selector)
+        if shortcut is not None and not (follow or attr or fields):
+            self.cfg = replace(self.cfg, **{shortcut: True})
+            return self
+        return self._register(selector, follow, attr, fields, name, xpath=False)
+
+    def on_xml(
+        self,
+        xpath: str,
+        follow: bool = False,
+        attr: str | None = None,
+        fields: dict | None = None,
+        name: str | None = None,
+    ) -> "Collector":
+        """Register an OnXML XPath extractor (colly.go:946-959); evaluated
+        under the XML content gate (colly.go:1249-1259): html-ish
+        content-types get HTML-mode XPath, xml media types and .xml/.xml.gz
+        paths get strict XML."""
+        return self._register(xpath, follow, attr, fields, name, xpath=True)
+
+    def _register(self, selector, follow, attr, fields, name, xpath) -> "Collector":
+        from colly_spark import dom
+        from colly_spark.config import ExtractorSpec
+
+        if not xpath:
+            dom.compile_css(selector)  # fail at registration, not mid-crawl
+        spec = ExtractorSpec(
+            selector=selector,
+            action="follow" if follow else "extract",
+            attr=attr,
+            fields=tuple(
+                (k, v[0], v[1]) if isinstance(v, tuple) else (k, v, None)
+                for k, v in (fields or {}).items()
+            ),
+            xpath=xpath,
+            name=name,
+        )
+        self.cfg = replace(
+            self.cfg, html_extractors=self.cfg.html_extractors + (spec,)
+        )
         return self
 
     def on_html_detach(self, selector: str) -> "Collector":
-        field = SUPPORTED_SELECTORS.get(selector)
-        if field is None:
-            raise ValueError(f"unsupported selector {selector!r}")
-        self.cfg = replace(self.cfg, **{field: False})
+        """OnHTMLDetach (colly.go:1008-1018): deactivate by selector."""
+        shortcut = SUPPORTED_SELECTORS.get(selector)
+        if shortcut is not None:
+            self.cfg = replace(self.cfg, **{shortcut: False})
+            return self
+        kept = tuple(
+            e for e in self.cfg.html_extractors
+            if e.xpath or e.selector != selector
+        )
+        self.cfg = replace(self.cfg, html_extractors=kept)
         return self
+
+    def on_xml_detach(self, xpath: str) -> "Collector":
+        """OnXMLDetach (colly.go:1021-1029)."""
+        kept = tuple(
+            e for e in self.cfg.html_extractors
+            if not e.xpath or e.selector != xpath
+        )
+        self.cfg = replace(self.cfg, html_extractors=kept)
+        return self
+
+    def unmarshal(self, selector: str, schema: dict, name: str | None = None) -> "Collector":
+        """Declarative struct extraction (P9, unmarshal.go:51-223): one
+        ``elements`` row per ``selector`` match, its ``fields`` map filled
+        from the schema — the `selector:"..."` struct-tag form as a dict."""
+        return self.on_html(selector, fields=schema, name=name)
 
     def on_request(self, abort_if: str | None = None) -> "Collector":
         """Register an OnRequest tap. Only the declarative abort form is
@@ -170,7 +244,7 @@ class Collector:
             self.spark, self.tables["pages"], self.tables["images"],
             self.tables["robots"], checkpoint_dir=self.checkpoint_dir,
             config=replace(self.cfg, follow_links=False, extract_images=False,
-                           abort_url_filters=()),
+                           html_extractors=(), abort_url_filters=()),
         )
 
 

@@ -64,6 +64,35 @@ def tokens_for_rule(rule: LimitRule | None, round_budget_ms: int, service_est_ms
 
 
 @dataclass(frozen=True)
+class ExtractorSpec:
+    """One general OnHTML/OnXML registration (colly.go:929-1051) in
+    declarative form — the E2 callback surface restated as an extraction
+    spec the vectorized parse UDF can run.
+
+    action 'follow': matched elements' ``attr`` (default href) is
+    absolutized and unioned into the next round's frontier, the
+    ``e.Request.Visit(e.Attr("href"))`` pattern (request.go:122-124).
+    action 'extract': matches land in the ``elements`` output table with
+    the HTMLElement surface (tag/Text/attrs, htmlelement.go:25-63) plus
+    ``fields`` — a declarative Unmarshal schema (unmarshal.go:51-223):
+    each (field_name, child_selector, attr_or_None) yields the first
+    matching descendant's attribute or trimmed ChildText
+    (htmlelement.go:67-101).
+
+    ``xpath=True`` makes ``selector`` an XPath evaluated per the XML gate
+    (colly.go:1241-1259); otherwise it is a CSS selector (tag/.class/#id/
+    [attr(=val)] compounds, descendant and ``>`` combinators, groups).
+    """
+
+    selector: str
+    action: str = "extract"  # 'extract' | 'follow'
+    attr: str | None = None
+    fields: tuple[tuple[str, str, str | None], ...] = ()
+    xpath: bool = False
+    name: str | None = None
+
+
+@dataclass(frozen=True)
 class CrawlConfig:
     """Frozen crawl configuration (reference Collector fields, colly.go:56-142)."""
 
@@ -96,6 +125,7 @@ class CrawlConfig:
     # sits inside backend.Do, past the abort point).
     follow_links: bool = True  # OnHTML("a[href]") registered
     extract_images: bool = True  # OnHTML("figure img + figcaption") registered
+    html_extractors: tuple[ExtractorSpec, ...] = ()  # general OnHTML/OnXML
     abort_url_filters: tuple[str, ...] = ()  # regex on canonical URL
 
     limit_rules: tuple[LimitRule, ...] = ()
@@ -105,10 +135,15 @@ class CrawlConfig:
 
     # engine knobs (no reference analog; scale controls)
     shuffle_partitions: int = 32
-    seen_bloom_enabled: bool = False  # exact anti-join always on; bloom pre-filter
+    seen_bloom_enabled: bool = True  # Bloom pre-filter in front of the exact anti-join
     seen_bloom_fpp: float = 0.01
     seen_bloom_partitions: int = 64  # sandbox-scale stand-in for 4096 at 10^10
     seen_bloom_capacity_per_partition: int = 65536  # 2.45e6 at the 10^10 point
+    # 'broadcast' ships all filter blobs to every executor (right while the
+    # set is small); 'cogroup' keeps each blob partition-local (the 10^10
+    # path); 'auto' picks by the statically-known total size
+    seen_bloom_delivery: str = "auto"
+    seen_bloom_broadcast_max_bytes: int = 64 * 1024 * 1024
     max_rounds: int = 64
 
     extra: dict = field(default_factory=dict, compare=False, hash=False)

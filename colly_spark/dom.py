@@ -1,0 +1,280 @@
+"""Minimal DOM + CSS-selector + XPath engine for the parse stage (P3-P9).
+
+The reference dispatches OnHTML callbacks through goquery's full CSS engine
+(colly.go:1219-1237) and OnXML through htmlquery/xmlquery XPath
+(colly.go:1241-1317). This container has neither lxml nor selectolax, so the
+engine builds one ``xml.etree.ElementTree`` tree per document (lenient HTML
+parse via the stdlib ``html.parser``, strict XML via ``ET.fromstring``) and
+evaluates both selector languages over it:
+
+- CSS subset: tag, ``*``, ``.class``, ``#id``, ``[attr]``, ``[attr=val]``,
+  ``[attr~=val]``, ``[attr^=]``/``[attr$=]``/``[attr*=]``, compounds
+  (``a.cls[href]``), descendant (space) and child (``>``) combinators, and
+  selector groups (``,``). Matches are returned in document order, which is
+  what gives HTMLElement.Index its meaning (htmlelement.go:38).
+- XPath subset: absolute (``/html/body/p``) and anywhere (``//page/title``)
+  paths, ``*``, ``[@attr]``/``[@attr='v']``/``[tag]`` predicates — the
+  forms colly's own tests exercise (colly_test.go:1573-1631) — delegated to
+  ElementTree's ElementPath after a small translation.
+
+Everything here is pure Python over one in-memory tree per document; the
+Spark side calls it from an Arrow-batched pandas UDF (one parse per page,
+SURVEY.md §2 P3), never per-row from the driver.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+from html.parser import HTMLParser
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# tags whose open implicitly closes a same-or-listed open tag (tiny subset of
+# the HTML5 tree-construction rules; enough for test/fixture markup)
+IMPLICIT_CLOSERS = {
+    "li": ("li",),
+    "p": ("p",),
+    "option": ("option",),
+    "tr": ("tr", "td", "th"),
+    "td": ("td", "th"),
+    "th": ("td", "th"),
+}
+
+
+class _TreeBuilder(HTMLParser):
+    """Lenient HTML -> ElementTree: unclosed/mismatched tags never raise."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = ET.Element("__root__")
+        self.stack = [self.root]
+        self._last: ET.Element | None = None  # for tail text
+
+    def _open(self, tag: str, attrs) -> ET.Element:
+        closers = IMPLICIT_CLOSERS.get(tag)
+        if closers and len(self.stack) > 1 and self.stack[-1].tag in closers:
+            self.stack.pop()
+        el = ET.SubElement(self.stack[-1], tag, dict((k, v or "") for k, v in attrs))
+        return el
+
+    def handle_starttag(self, tag, attrs):
+        el = self._open(tag, attrs)
+        if tag in VOID_ELEMENTS:
+            self._last = el
+        else:
+            self.stack.append(el)
+            self._last = None
+
+    def handle_startendtag(self, tag, attrs):
+        self._last = self._open(tag, attrs)
+
+    def handle_endtag(self, tag):
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                self._last = self.stack[i]
+                del self.stack[i:]
+                return
+        # stray end tag: ignored (goquery/net-html are equally forgiving)
+
+    def handle_data(self, data):
+        if not data:
+            return
+        if self._last is not None and self._last is not self.stack[-1]:
+            self._last.tail = (self._last.tail or "") + data
+        else:
+            cur = self.stack[-1]
+            if len(cur):
+                last_child = cur[-1]
+                last_child.tail = (last_child.tail or "") + data
+            else:
+                cur.text = (cur.text or "") + data
+
+
+def parse_html(text: str) -> ET.Element:
+    """Parse (possibly malformed) HTML into a tree rooted at ``__root__``."""
+    b = _TreeBuilder()
+    b.feed(text)
+    b.close()
+    return b.root
+
+
+def parse_xml(text: str) -> ET.Element | None:
+    """Strict XML parse wrapped under the same ``__root__`` wrapper; returns
+    None on malformed input (colly's xmlquery would error the callback)."""
+    try:
+        el = ET.fromstring(text)
+    except ET.ParseError:
+        return None
+    root = ET.Element("__root__")
+    root.append(el)
+    return root
+
+
+def text_content(el: ET.Element) -> str:
+    """All descendant text, like goquery Selection.Text()."""
+    return "".join(el.itertext())
+
+
+# ---------------------------------------------------------------------------
+# CSS selector subset
+# ---------------------------------------------------------------------------
+
+_TOKEN = re.compile(
+    r"""
+    (?P<tag>[a-zA-Z][\w-]*|\*)
+  | \.(?P<cls>[\w-]+)
+  | \#(?P<id>[\w-]+)
+  | \[(?P<attr>[\w-]+)\s*(?:(?P<op>[~^$*]?=)\s*(?P<q>["']?)(?P<val>[^\]"']*)(?P=q)\s*)?\]
+    """,
+    re.VERBOSE,
+)
+
+
+class CssSelectorError(ValueError):
+    pass
+
+
+def _compile_compound(s: str) -> list[tuple]:
+    """One compound selector ('a.cls[href]') -> list of simple tests."""
+    tests: list[tuple] = []
+    pos = 0
+    while pos < len(s):
+        m = _TOKEN.match(s, pos)
+        if m is None:
+            raise CssSelectorError(f"unsupported CSS selector syntax at {s[pos:]!r}")
+        if m.group("tag"):
+            tests.append(("tag", m.group("tag").lower()))
+        elif m.group("cls"):
+            tests.append(("class", m.group("cls")))
+        elif m.group("id"):
+            tests.append(("id", m.group("id")))
+        else:
+            tests.append(("attr", m.group("attr"), m.group("op"), m.group("val")))
+        pos = m.end()
+    if not tests:
+        raise CssSelectorError(f"empty compound in selector {s!r}")
+    return tests
+
+
+def compile_css(selector: str) -> list[list[tuple]]:
+    """Selector group -> list of chains; chain = [(combinator, compound)...]
+    right-to-left with combinators '' (rightmost), ' ' (descendant), '>'."""
+    chains = []
+    for alt in selector.split(","):
+        alt = alt.strip()
+        if not alt:
+            raise CssSelectorError(f"empty alternative in {selector!r}")
+        parts = re.split(r"\s*(>)\s*|\s+", alt)
+        seq: list[tuple] = []  # (combinator_to_next, compound_tests)
+        comb = ""
+        for p in parts:
+            if p is None or p == "":
+                continue
+            if p == ">":
+                comb = ">"
+                continue
+            seq.append((comb, _compile_compound(p)))
+            comb = " "
+        if not seq:
+            raise CssSelectorError(f"cannot parse selector {alt!r}")
+        chains.append(seq)
+    return chains
+
+
+def _matches_compound(el: ET.Element, tests: list[tuple]) -> bool:
+    for t in tests:
+        if t[0] == "tag":
+            if t[1] != "*" and el.tag.lower() != t[1]:
+                return False
+        elif t[0] == "class":
+            if t[1] not in (el.get("class") or "").split():
+                return False
+        elif t[0] == "id":
+            if el.get("id") != t[1]:
+                return False
+        else:
+            _, name, op, val = t
+            got = el.get(name)
+            if got is None:
+                return False
+            if op is None:
+                continue
+            if op == "=" and got != val:
+                return False
+            if op == "~=" and val not in got.split():
+                return False
+            if op == "^=" and not got.startswith(val):
+                return False
+            if op == "$=" and not got.endswith(val):
+                return False
+            if op == "*=" and val not in got:
+                return False
+    return True
+
+
+def css_select(root: ET.Element, selector: str | list) -> list[ET.Element]:
+    """All elements under ``root`` matching the selector group, in document
+    order, deduped across alternatives (goquery semantics)."""
+    chains = compile_css(selector) if isinstance(selector, str) else selector
+    out: list[ET.Element] = []
+    seen: set[int] = set()
+
+    def chain_matches(el: ET.Element, ancestors: list[ET.Element], seq) -> bool:
+        if not _matches_compound(el, seq[-1][1]):
+            return False
+        # walk remaining compounds right-to-left up the ancestor list
+        idx = len(ancestors)  # exclusive upper bound for ancestor search
+        for pos in range(len(seq) - 2, -1, -1):
+            comb = seq[pos + 1][0]  # combinator BETWEEN seq[pos] and seq[pos+1]
+            tests = seq[pos][1]
+            if comb == ">":
+                idx -= 1
+                if idx < 0 or not _matches_compound(ancestors[idx], tests):
+                    return False
+            else:  # descendant
+                while idx > 0:
+                    idx -= 1
+                    if _matches_compound(ancestors[idx], tests):
+                        break
+                else:
+                    return False
+        return True
+
+    def walk(el: ET.Element, ancestors: list[ET.Element]):
+        # the synthetic __root__ wrapper never joins the ancestor chain
+        child_anc = ancestors + [el] if el.tag != "__root__" else ancestors
+        for child in el:
+            for seq in chains:
+                if id(child) not in seen and chain_matches(child, child_anc, seq):
+                    seen.add(id(child))
+                    out.append(child)
+                    break
+            walk(child, child_anc)
+
+    walk(root, [])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# XPath subset (translated to ElementTree's ElementPath)
+# ---------------------------------------------------------------------------
+
+
+def xpath_select(root: ET.Element, xpath: str) -> list[ET.Element]:
+    """Evaluate colly-test-style XPath over the wrapped tree.
+
+    ``//x`` -> anywhere; ``/x/y`` -> absolute from the document element.
+    Predicates supported by ElementTree pass through ([@attr], [@a='v'],
+    [tag], [position]).
+    """
+    p = xpath.strip()
+    if p.startswith("//"):
+        return root.findall("." + p)  # './/x' anywhere
+    if p.startswith("/"):
+        # absolute: ElementTree paths are relative to root's children, and
+        # our wrapper's children ARE the document element(s)
+        return root.findall(p.lstrip("/"))
+    return root.findall(p)

@@ -39,7 +39,7 @@ from colly_spark.operators import parse as parse_op
 from colly_spark.operators import payload as payload_op
 from colly_spark.operators import robots as robots_op
 from colly_spark.operators import schedule as sched_op
-from colly_spark.operators.fetch import fetch_ms_col, make_resolver_udf
+from colly_spark.operators.fetch import fetch_ms_col, redirect_closure
 from colly_spark.operators.filters import static_filter_kind
 from colly_spark.operators.seq import with_ordered_counts
 from colly_spark.statestore import StateStore
@@ -72,6 +72,7 @@ STATE_SCHEMAS = {
     "visits": schemas.VISITS,
     "errors": schemas.ERRORS,
     "results": schemas.RESULTS,
+    "elements": schemas.ELEMENTS,
     "lineage": schemas.LINEAGE,
     "pending": schemas.FRONTIER,
     "candidates": CANDIDATES,
@@ -121,23 +122,31 @@ class Crawler:
         self.bloom_m, self.bloom_k = bloomseen.bloom_params(
             cfg.seen_bloom_capacity_per_partition, cfg.seen_bloom_fpp
         )
+        # total filter bytes are statically known from config — pick the
+        # delivery mode without any runtime probe
+        if cfg.seen_bloom_delivery == "auto":
+            total = cfg.seen_bloom_partitions * (self.bloom_m // 8)
+            self._bloom_delivery = (
+                "broadcast" if total <= cfg.seen_bloom_broadcast_max_bytes else "cogroup"
+            )
+        else:
+            self._bloom_delivery = cfg.seen_bloom_delivery
+        self._bloom_bcs: list = []  # (round, broadcast) pairs pending destroy
         self.url_parts_udf, _ = register_udfs()
         self.rule_idx_udf = sched_op.make_rule_idx_udf(cfg)
         self.robots_kind_fn = robots_op.robots_gate_kind(cfg.user_agent)
         self.validate_udf = payload_op.make_validate_udf()
         self.extract_udf = parse_op.make_extract_udf(
-            cfg.follow_links, cfg.extract_images
+            cfg.follow_links, cfg.extract_images, cfg.html_extractors
         )
-        # redirect edges are a tiny fraction of the web; broadcast resolver.
-        # (an iterative hop-join fallback belongs here if that stops holding)
-        redirect_rows = (
-            pages.where(F.col("redirect_to").isNotNull())
-            .select("url", "redirect_to")
-            .collect()
-        )
-        self.resolver_udf = make_resolver_udf(
-            spark, cfg, {r["url"]: r["redirect_to"] for r in redirect_rows}
-        )
+        # X3: distributed bounded closure of the (config-static) redirect
+        # graph, computed once — never a driver collect (redirect edges are
+        # billions of rows at 10^10 scale). Materialized here so every
+        # round's left join reads a cached, size-known frame.
+        self.redirects = redirect_closure(
+            pages, cfg, self.url_parts_udf, static_filter_kind
+        ).persist()
+        self._n_redirects = self.redirects.count()
         self.stats: list[RoundStats] = []
         self._pins: list[DataFrame] = []
 
@@ -145,6 +154,8 @@ class Crawler:
     def run(self, seeds: list[dict] | DataFrame, max_rounds: int | None = None) -> dict:
         limit = max_rounds if max_rounds is not None else self.cfg.max_rounds
         start_round = self.store.completed_round + 1
+        if start_round > 0 and self.cfg.seen_bloom_enabled:
+            self._check_bloom_geometry()
         if start_round == 0:
             seeds_df = self._seed_candidates(seeds)
             self.store.replace("candidates", seeds_df, -1)
@@ -170,11 +181,37 @@ class Crawler:
             "visits": self.store.get("visits"),
             "errors": self.store.get("errors"),
             "results": self.store.get("results"),
+            "elements": self.store.get("elements"),
             "url_seen": self.store.get("url_seen"),
             "lineage": self.store.get("lineage"),
             "robots_cache": self.store.get("robots_cache"),
             "fetch_cache": self.store.get("fetch_cache"),
         }
+
+    def _check_bloom_geometry(self) -> None:
+        """Resume-time Bloom safety: the filters' (m, k, partitions) travel
+        in the manifest. A changed m/k (or bloom newly enabled on an
+        existing checkpoint) silently yields false negatives — missed dedup
+        — so the filters are rebuilt from url_seen (idempotent). A changed
+        partition count cannot be rebuilt (url_seen.domain_hash bakes in the
+        old modulus) and fails fast."""
+        c0 = self.store.counters
+        p_old = c0.get("bloom_p")
+        if p_old is not None and p_old != self.cfg.seen_bloom_partitions:
+            raise ValueError(
+                f"checkpoint was written with seen_bloom_partitions={p_old}, "
+                f"config now says {self.cfg.seen_bloom_partitions}; url_seen's "
+                "domain_hash keys use the old modulus — resume with the "
+                "original partition count"
+            )
+        if (c0.get("bloom_m"), c0.get("bloom_k")) != (self.bloom_m, self.bloom_k):
+            seen = self.store.get("url_seen").select("domain_hash", "url_hash")
+            empty = self.spark.createDataFrame([], schema=bloomseen.SEEN_FILTERS)
+            self.store.replace(
+                "seen_filters",
+                bloomseen.update_filters(empty, seen, self.bloom_m, self.bloom_k),
+                self.store.completed_round,
+            )
 
     def _seed_candidates(self, seeds) -> DataFrame:
         if isinstance(seeds, DataFrame):
@@ -241,9 +278,15 @@ class Crawler:
             F.pmod(F.xxhash64("domain"), F.lit(cfg.seen_bloom_partitions)).cast("int"),
         )
         # one materialization of the UDF chain: every downstream branch
-        # (skinny flags, robots cache-fill, verdict join-back) reads this
+        # (skinny flags, robots cache-fill, verdict join-back) reads this.
+        # The count() is deliberate: AQE launches the submission plan's
+        # independent stages concurrently, and letting 3-5 of them race to
+        # materialize this cache serializes them on block locks (measured:
+        # 26-37s each at 300k rows vs ~3s for the kernel). One cheap eager
+        # pass fills the cache; every later scan is contention-free.
         cwide = cwide.persist()
         self._pins.append(cwide)
+        cwide.count()
 
         sk = cwide.select(
             *ORDER_COLS,
@@ -296,10 +339,16 @@ class Crawler:
             # positives just ride through the exact join — no semantic
             # change; false negatives are impossible because the filters
             # contain every hash marked in all committed rounds.
-            might = bloomseen.make_might_contain_udf(
-                spark, self.store.get("seen_filters"), self.bloom_m, self.bloom_k
-            )
-            sk = sk.withColumn("__maybe", might(F.col("url_hash"), F.col("__dh")))
+            if self._bloom_delivery == "cogroup":
+                sk = bloomseen.cogroup_might_contain(
+                    sk, self.store.get("seen_filters"), self.bloom_m, self.bloom_k
+                )
+            else:
+                might, bc = bloomseen.make_might_contain_udf(
+                    spark, self.store.get("seen_filters"), self.bloom_m, self.bloom_k
+                )
+                self._bloom_bcs.append((rnd, bc))
+                sk = sk.withColumn("__maybe", might(F.col("url_hash"), F.col("__dh")))
             pos = (
                 sk.where(F.col("__maybe"))
                 .join(seen_flag, on="url_hash", how="left")
@@ -371,12 +420,15 @@ class Crawler:
                 "enqueue_seq",
                 F.when(enqueued, el_before + F.lit(built)).cast("long"),
             )
-            .select(*ORDER_COLS, "enqueue_seq", "error_kind", "__accepted", "__marked")
+            .select(*ORDER_COLS, "enqueue_seq", "error_kind", "__accepted",
+                    "__marked", "rule_idx", "domain")
         )
         # the only wide operation of the phase: join the skinny verdicts
         # back onto the cached payload by the unique submission key (AQE
         # broadcasts the verdict side while it fits; plain hash join beyond)
-        c = cwide.join(verdict, on=ORDER_COLS, how="inner").persist()
+        c = cwide.join(
+            verdict.drop("rule_idx", "domain"), on=ORDER_COLS, how="inner"
+        ).persist()
         # all counts fall out of the sequencing collect — no extra jobs
         n_submitted = tot["__rows"]
         n_eligible = tot["__eligible"]
@@ -388,7 +440,7 @@ class Crawler:
         elif n_enqueued == n_eligible:
             n_accepted = n_enqueued - tot["__abort_elig"]
         else:  # budget truncation + aborts interact: count exactly (rare)
-            n_accepted = c.where("__accepted").count()
+            n_accepted = verdict.where("__accepted").count()
         _t1 = _time.time()
         spark.sparkContext.setJobDescription(f"r{rnd}:dispatch")
 
@@ -427,11 +479,12 @@ class Crawler:
         # group over its token budget, nothing defers — fetch_seq is then a
         # pure offset of enqueue_seq and the whole split + global
         # re-sequencing pass (a sort + sample + collect over the full
-        # batch) is provably a no-op. One cheap agg over the cached
-        # submission plan decides it.
+        # batch) is provably a no-op. One cheap agg over the SKINNY verdict
+        # frame decides it (the wide payload join-back must never
+        # materialize just to answer a yes/no scheduling question).
         fast_fifo = deferred_prev == 0 and not cfg.abort_url_filters and (
             not cfg.limit_rules
-            or c.where("__accepted")
+            or verdict.where("__accepted")
             .groupBy("rule_idx", "domain")
             .agg(F.count(F.lit(1)).alias("__n"))
             .where(F.col("__n") > sched_op.tokens_map_expr(cfg))
@@ -444,21 +497,32 @@ class Crawler:
             deferred = spark.createDataFrame([], schema=schemas.FRONTIER)
             n_dispatch = n_accepted
         else:
+            # slow path, skinny: the politeness window + the global dense
+            # fetch_seq rank both run over (enqueue_seq, domain, rule_idx)
+            # projections — ~30 B/row — and the wide frontier is touched by
+            # exactly one join on the unique enqueue_seq key. The sequencing
+            # sort therefore scales with the frontier's *row count*, never
+            # its payload width, and the sorted set is only the rows being
+            # scheduled this round.
             frontier = pending.unionByName(accepted_df)
-            dispatch, deferred = sched_op.split_dispatch(frontier, cfg)
-            dispatch, dtot = with_ordered_counts(
-                dispatch.withColumn("__one", F.lit(True)),
-                ["enqueue_seq"], ["__one"], num_partitions=cfg.shuffle_partitions,
-                return_totals=True, pins=self._pins,
+            seqmap, dtot = sched_op.dispatch_seq_map(
+                frontier, cfg, fetched, num_partitions=cfg.shuffle_partitions,
+                pins=self._pins,
             )
-            dispatch = dispatch.withColumn(
-                "fetch_seq", F.col("__one_before") + F.lit(fetched)
-            ).drop("__one", "__one_before").persist()
-            n_dispatch = dtot["__one"]
+            joined = frontier.join(seqmap, on="enqueue_seq", how="left").persist()
+            self._pins.append(joined)
+            dispatch = joined.where(F.col("fetch_seq").isNotNull())
+            deferred = joined.where(F.col("fetch_seq").isNull()).drop("fetch_seq")
+            n_dispatch = dtot["__disp"]
         _t2 = _time.time()
         spark.sparkContext.setJobDescription(f"r{rnd}:fetch")
-        self.store.replace("pending", deferred, rnd)
         n_deferred = deferred_prev + n_accepted - n_dispatch
+        if n_deferred or deferred_prev:
+            self.store.replace("pending", deferred, rnd)
+        else:
+            self.store.replace(
+                "pending", spark.createDataFrame([], schema=schemas.FRONTIER), rnd
+            )
 
         # ---------------- fetch: X2 cache + X3 redirects + X1 content join -
         # X2 (http_backend.go:157-200): GET dispatch rows with a live cache
@@ -494,8 +558,15 @@ class Crawler:
                 "__ch", "__c_final", "__c_status", "__c_ct", "__c_body", "__c_bh"
             )
 
-        d = dispatch.withColumn("__r", self.resolver_udf("canon_url"))
-        d = d.select("*", "__r.final_url", "__r.hops", "__r.is_cycle", "__r.abort_kind").drop("__r")
+        # X3: left-join the precomputed distributed redirect closure; rows
+        # that are not redirect sources resolve to themselves. Broadcast
+        # while the closure is small (it is edges-sized, not crawl-sized).
+        rc = self.redirects
+        if self._n_redirects < 1_000_000:
+            rc = F.broadcast(rc)
+        d = dispatch.join(rc, dispatch.canon_url == rc.src, "left").drop("src")
+        d = d.withColumn("final_url", F.coalesce("final_url", F.col("canon_url")))
+        d = d.withColumn("is_cycle", F.coalesce("is_cycle", F.lit(False)))
         seen_now = self.store.get("url_seen").select("url_hash").distinct()
         hops = (
             d.select("fetch_seq", F.posexplode_outer("hops").alias("hop_idx", "hop_url"))
@@ -586,6 +657,14 @@ class Crawler:
         d = d.join(
             page_cols, F.col("__effective_url") == F.col("__pu"), "left"
         ).drop("__pu")
+        if cfg.max_body_size > 0:
+            # X1 body cap (http_backend.go:235-237 io.LimitReader): applied
+            # at the fetch seam, before parse and before the cache
+            # write-back, so every downstream consumer sees the capped body
+            d = d.withColumn(
+                "page_body",
+                F.expr(f"substring(page_body, 1, {int(cfg.max_body_size)})"),
+            )
         d = d.withColumn("fetch_ms", fetch_ms_col(cfg))
         d = d.withColumn("__cache_hit", F.lit(False))
         if hit is not None:
@@ -711,8 +790,29 @@ class Crawler:
             F.lit(None).cast("boolean").alias("skip_seen_check"),
         )
         self.store.replace("candidates", children, rnd)
+        # checkpoint BEFORE counting: the count then reads the materialized
+        # blocks instead of executing the parse plan once for the count and
+        # a second time for the commit-time checkpoint (measured double-pass)
+        self.store.compact(["candidates"])
         n_children = _count(self.store.get("candidates"))
 
+        if cfg.html_extractors:
+            self.store.stage_append(
+                "elements",
+                parsed.where(F.col("m.kind") == "element").select(
+                    "fetch_seq",
+                    F.col("__effective_url").alias("url"),
+                    F.col("m.extra").alias("selector"),
+                    F.col("m.sel_idx").alias("sel_idx"),
+                    F.col("m.elem_idx").alias("elem_idx"),
+                    F.col("m.tag").alias("tag"),
+                    F.col("m.text").alias("text"),
+                    F.col("m.attrs").alias("attrs"),
+                    F.col("m.fields").alias("fields"),
+                    F.lit(rnd).alias("round"),
+                ),
+                rnd,
+            )
         image_rows = parsed.where(F.col("m.kind") == "image").select(
             "fetch_seq", "depth", "__effective_url",
             F.col("m.value").alias("image_id"),
@@ -761,21 +861,40 @@ class Crawler:
 
         # ---------------- commit ----------------
         # iteratively-read state gets its Catalyst lineage truncated every
-        # round; append-only output tables only every few rounds (they are
-        # read at the end, not inside the loop), with their upstream
-        # intermediates pinned in cache until that flush
-        self.store.compact(
-            ["url_seen", "pending", "candidates", "robots_cache", "seen_filters",
-             "fetch_cache"]
-        )
+        # round — but only the tables this round actually changed (each
+        # localCheckpoint is a full-table job; compacting a table nothing
+        # wrote is pure fixed cost at small rounds); append-only output
+        # tables only every few rounds (they are read at the end, not
+        # inside the loop), with their upstream intermediates pinned in
+        # cache until that flush
+        to_compact = ["url_seen"]
+        if n_deferred or deferred_prev:
+            to_compact.append("pending")
+        if not cfg.ignore_robots_txt:
+            to_compact.append("robots_cache")
+        if cfg.seen_bloom_enabled:
+            to_compact.append("seen_filters")
+        if cfg.fetch_cache_enabled:
+            to_compact.append("fetch_cache")
+        self.store.compact(to_compact)
         self._pins.extend([c, dispatch, d])
         if len(self._pins) >= 16:
             self._flush_pins()
         self.store.commit_round(
             rnd,
             {"built": built + n_enqueued, "fetched": fetched + n_dispatch,
-             "pending": n_deferred},
+             "pending": n_deferred,
+             # Bloom geometry travels with the checkpoint: resuming under a
+             # changed (m, k, partitions) would silently turn the filter's
+             # FPP into false negatives — missed dedup (see run())
+             "bloom_m": self.bloom_m, "bloom_k": self.bloom_k,
+             "bloom_p": cfg.seen_bloom_partitions},
         )
+        # previous rounds' filter broadcasts are no longer referenced by any
+        # live plan (this round's state is checkpointed above); without the
+        # destroy they accrue ~partitions x m/8 bytes per round
+        while len(self._bloom_bcs) > 1 and self._bloom_bcs[0][0] < rnd:
+            self._bloom_bcs.pop(0)[1].destroy()
         _t5 = _time.time()
         spark.sparkContext.setJobDescription(None)
         self.stats.append(
@@ -791,7 +910,7 @@ class Crawler:
         """Checkpoint output tables, then release pinned per-round caches."""
         if not self._pins and not final:
             return
-        self.store.compact(["visits", "errors", "results", "lineage"])
+        self.store.compact(["visits", "errors", "results", "elements", "lineage"])
         for df in self._pins:
             df.unpersist()
         self._pins = []

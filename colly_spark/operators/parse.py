@@ -1,34 +1,59 @@
-"""P1-P11: content-type gating, HTML parsing, link/image extraction (the
-reference's OnHTML dispatch, colly.go:1179-1239).
+"""P1-P9: content gating/sniffing, gzip, HTML/XML parsing, extraction (the
+reference's OnHTML/OnXML dispatch, colly.go:1179-1317).
 
-The extraction is an Arrow-vectorized pandas UDF: parse each HTML body once
-per row (stdlib ``html.parser`` — lxml/selectolax are not in this container),
-evaluate the registered extractors, and return
-``array<struct<sel_idx, elem_idx, kind, value, extra>>`` which the engine
-explodes — exactly SURVEY.md §2 P3's "parse once, explode matches" shape.
+The extraction is an Arrow-vectorized pandas UDF: parse each body once per
+row into one DOM tree (:mod:`colly_spark.dom` — lxml/selectolax are not in
+this container), evaluate every registered extractor, and return
+``array<struct<sel_idx, elem_idx, kind, value, extra, tag, text, attrs,
+fields>>`` which the engine explodes — exactly SURVEY.md §2 P3's "parse
+once, explode matches" shape.
 
-Extractors implemented (the image+caption crawl surface):
-- sel 0: ``a[href]``      -> kind 'link',  value = absolutized href
-  (absolutization against <base href> or the final request URL happens here,
-  mirroring colly.go:1209-1218 + request.go:101-117)
-- sel 1: ``img[src] + figcaption`` -> kind 'image', value = image_id
-  (``img://<id>`` refs), extra = figcaption text (P9 Unmarshal-style
-  declarative pair extraction, unmarshal.go:51-223)
+Extractor surface:
+- built-in sel 0: ``a[href]`` -> kind 'link', value = absolutized href
+  (absolutization against <base href> or the final request URL mirrors
+  colly.go:1209-1218 + request.go:101-117);
+- built-in sel 1: ``figure img + figcaption`` -> kind 'image', value =
+  image_id (``img://<id>`` refs), extra = figcaption ChildText;
+- general extractors (sel 2+): any CSS selector or XPath
+  (:class:`colly_spark.config.ExtractorSpec`) with colly's HTMLElement
+  surface — Attr (htmlelement.go:56-63), Text, ChildText(s)
+  (htmlelement.go:67-80), ChildAttr(s) (htmlelement.go:84-101) — and
+  declarative Unmarshal field schemas (unmarshal.go:51-223): each
+  ``(field, child_selector, attr-or-None)`` compiles into one entry of the
+  match's ``fields`` map. 'follow' extractors emit kind 'link' and feed the
+  frontier exactly like the built-in.
+
+Content gates:
+- HTML (colly.go:1186-1203): header Content-Type, sniffed from body magic
+  when missing (Go http.DetectContentType subset); mediatype must be
+  text/html or application/xhtml+xml.
+- XML (colly.go:1249-1259): ct contains "html" (HTML-mode XPath) OR
+  mediatype in {text/xml, application/xml, *+xml} OR path ends
+  .xml/.xml.gz (XML-mode).
+- gzip (http_backend.go:238-261): bodies carrying the RFC-1952 magic are
+  gunzipped before parsing when Content-Encoding/Content-Type say gzip or
+  the path ends .xml.gz (the body *column* stays compressed — only the
+  parse sees decoded bytes; colly decodes at fetch, an observable-equal
+  placement since nothing downstream reads raw bytes).
 """
 
 from __future__ import annotations
 
-from html.parser import HTMLParser
+import gzip as _gzip
+import io
+import xml.etree.ElementTree as ET
 
 import pandas as pd
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
+    MapType,
     StringType,
     StructField,
     StructType,
 )
 
+from colly_spark import dom
 from colly_spark.urlkit import absolutize
 
 MATCH_SCHEMA = ArrayType(
@@ -39,112 +64,236 @@ MATCH_SCHEMA = ArrayType(
             StructField("kind", StringType()),
             StructField("value", StringType()),
             StructField("extra", StringType()),
+            StructField("tag", StringType()),
+            StructField("text", StringType()),
+            StructField("attrs", MapType(StringType(), StringType())),
+            StructField("fields", MapType(StringType(), StringType())),
         ]
     )
 )
 
 HTML_MEDIA_TYPES = ("text/html", "application/xhtml+xml")  # colly.go:1186-1203
+GZIP_MAGIC = b"\x1f\x8b"  # RFC 1952, http_backend.go:252
+
+
+def _media_type(ct: str | None) -> str:
+    return (ct or "").split(";")[0].strip().lower()
+
+
+def sniff_content_type(body: bytes) -> str:
+    """Subset of Go http.DetectContentType (net/http/sniff.go) covering the
+    types this crawl meets: HTML tags, XML declarations, gzip, PNG/JPEG,
+    and a text/plain fallback."""
+    if body[:2] == GZIP_MAGIC:
+        return "application/x-gzip"
+    if body[:8] == b"\x89PNG\r\n\x1a\n":
+        return "image/png"
+    if body[:3] == b"\xff\xd8\xff":
+        return "image/jpeg"
+    head = bytes(body[:512]).lstrip(b" \t\n\r\f")
+    upper = head[:64].upper()
+    for pat in (b"<!DOCTYPE HTML", b"<HTML", b"<HEAD", b"<SCRIPT", b"<IFRAME",
+                b"<H1", b"<DIV", b"<FONT", b"<TABLE", b"<A", b"<STYLE",
+                b"<TITLE", b"<B", b"<BODY", b"<BR", b"<P", b"<!--"):
+        if upper.startswith(pat) and len(upper) > len(pat) and upper[len(pat):len(pat) + 1] in (b" ", b">"):
+            return "text/html; charset=utf-8"
+    if head.startswith(b"<?xml"):
+        return "text/xml; charset=utf-8"
+    return "text/plain; charset=utf-8"
 
 
 def is_html_content_type(ct: str | None) -> bool:
     if not ct:
         return False
-    return ct.split(";")[0].strip().lower() in HTML_MEDIA_TYPES
+    return _media_type(ct) in HTML_MEDIA_TYPES
 
 
-class _Extractor(HTMLParser):
-    """One-pass extractor: base href, anchor hrefs, img/figcaption pairs."""
-
-    def __init__(self):
-        super().__init__(convert_charrefs=True)
-        self.base_href: str | None = None
-        self.links: list[str] = []
-        self.images: list[list] = []  # [src, caption]
-        self._pending_img: str | None = None
-        self._in_figcaption = False
-        self._caption_parts: list[str] = []
-
-    def handle_starttag(self, tag, attrs):
-        a = dict(attrs)
-        if tag == "base" and self.base_href is None and a.get("href"):
-            self.base_href = a["href"]
-        elif tag == "a" and a.get("href") is not None:
-            self.links.append(a["href"])
-        elif tag == "img" and a.get("src"):
-            self._pending_img = a["src"]
-        elif tag == "figcaption":
-            self._in_figcaption = True
-            self._caption_parts = []
-
-    handle_startendtag = handle_starttag
-
-    def handle_endtag(self, tag):
-        if tag == "figcaption":
-            self._in_figcaption = False
-            caption = "".join(self._caption_parts).strip()  # ChildText trims
-            if self._pending_img is not None:
-                self.images.append([self._pending_img, caption])
-                self._pending_img = None
-        elif tag == "figure" and self._pending_img is not None:
-            self.images.append([self._pending_img, None])  # img w/o caption
-            self._pending_img = None
-
-    def handle_data(self, data):
-        if self._in_figcaption:
-            self._caption_parts.append(data)
+def is_xml_eligible(ct: str | None, path: str) -> tuple[bool, bool]:
+    """(eligible, html_mode) per colly.go:1249-1259."""
+    ctl = (ct or "").lower()
+    mt = _media_type(ct)
+    p = path.lower()
+    is_xml_file = p.endswith(".xml") or p.endswith(".xml.gz")
+    is_xml_content = mt in ("text/xml", "application/xml") or mt.endswith("+xml")
+    if "html" in ctl:
+        return True, True
+    return (is_xml_content or is_xml_file), False
 
 
-def extract_one(body: bytes | None, content_type: str | None, page_url: str | None,
-                base_href_col: str | None, follow_links: bool = True,
-                extract_images: bool = True) -> list[tuple]:
-    """Extract matches from one page. Pure function — used by the pandas UDF
-    and unit tests alike. ``follow_links`` / ``extract_images`` mirror which
-    OnHTML selectors are registered (E2/E3: colly.go:929-1051, detach
-    colly.go:1008-1029)."""
-    if body is None or not is_html_content_type(content_type):
-        return []
-    if not follow_links and not extract_images:
-        return []
-    try:
-        text = bytes(body).decode("utf-8", errors="replace")
-    except Exception:
-        return []
-    p = _Extractor()
-    try:
-        p.feed(text)
-        p.close()
-    except Exception:
-        return []
-    if p._pending_img is not None:  # img not closed by figure/figcaption
-        p.images.append([p._pending_img, None])
-    base = base_href_col or p.base_href or page_url
-    if base and p.base_href and page_url:
-        # <base href> itself may be relative to the document URL
-        base = absolutize(page_url, p.base_href) or page_url
-    out: list[tuple] = []
-    if follow_links:
-        for i, href in enumerate(p.links):
-            absu = absolutize(base, href)
-            if absu is None:  # fragment-only (request.go:102-104)
-                continue
-            out.append((0, i, "link", absu, None))
-    if extract_images:
-        for i, (src, caption) in enumerate(p.images):
-            image_id = src[6:] if src.startswith("img://") else src
-            out.append((1, i, "image", image_id, caption))
+def maybe_gunzip(body: bytes, content_type: str | None, path: str) -> bytes:
+    """http_backend.go:238-261: gunzip when headers/path say gzip AND the
+    magic bytes confirm it (a .xml.gz URL may serve a plain 404 page)."""
+    ctl = (content_type or "").lower()
+    if ("gzip" in ctl or path.lower().endswith(".xml.gz")) and bytes(body[:2]) == GZIP_MAGIC:
+        try:
+            return _gzip.GzipFile(fileobj=io.BytesIO(bytes(body))).read()
+        except OSError:
+            return body
+    return body
+
+
+def _trim(s: str) -> str:
+    return s.strip()
+
+
+def _parent_map(root: ET.Element) -> dict:
+    return {id(c): p for p in root.iter() for c in p}
+
+
+def _select(tree: ET.Element, spec, compiled_cache: dict) -> list[ET.Element]:
+    if spec.xpath:
+        return dom.xpath_select(tree, spec.selector)
+    key = spec.selector
+    if key not in compiled_cache:
+        compiled_cache[key] = dom.compile_css(key)
+    return dom.css_select(tree, compiled_cache[key])
+
+
+def _element_fields(el: ET.Element, spec) -> dict:
+    """Unmarshal-style declarative extraction (unmarshal.go:51-223): each
+    (name, child_selector, attr) -> first matching descendant's attr or
+    ChildText; empty selector targets the element itself."""
+    out = {}
+    for name, child_sel, attr in spec.fields:
+        if child_sel:
+            matches = dom.css_select(el, child_sel)
+            target = matches[0] if matches else None
+        else:
+            target = el
+        if target is None:
+            out[name] = None
+        elif attr:
+            out[name] = target.get(attr)
+        else:
+            out[name] = _trim(dom.text_content(target))
     return out
 
 
-def make_extract_udf(follow_links: bool = True, extract_images: bool = True):
+def extract_one(
+    body: bytes | None,
+    content_type: str | None,
+    page_url: str | None,
+    base_href_col: str | None,
+    follow_links: bool = True,
+    extract_images: bool = True,
+    extractors: tuple = (),
+    _cache: dict | None = None,
+) -> list[tuple]:
+    """Extract matches from one page. Pure function — used by the pandas UDF
+    and unit tests alike. ``follow_links`` / ``extract_images`` mirror which
+    built-in OnHTML selectors are registered (E2/E3: colly.go:929-1051,
+    detach colly.go:1008-1029); ``extractors`` are the general OnHTML/OnXML
+    registrations (sel_idx 2+)."""
+    if body is None:
+        return []
+    path = ""
+    if page_url:
+        rest = page_url.split("://", 1)[-1]
+        path = "/" + rest.split("/", 1)[1].split("?")[0] if "/" in rest else "/"
+    raw = bytes(body)
+    ct = content_type
+    if not ct and raw:
+        ct = sniff_content_type(raw)
+    decoded = maybe_gunzip(raw, ct, path)
+    if decoded is not raw and not content_type:
+        ct = sniff_content_type(decoded)  # sniff the decoded stream
+    html_ok = is_html_content_type(ct)
+    xml_extractors = tuple(e for e in extractors if e.xpath)
+    css_extractors = tuple(e for e in extractors if not e.xpath)
+    xml_ok, xml_html_mode = is_xml_eligible(ct, path) if xml_extractors else (False, False)
+    if not html_ok and not xml_ok:
+        return []
+    try:
+        text = decoded.decode("utf-8", errors="replace")
+    except Exception:
+        return []
+
+    cache = _cache if _cache is not None else {}
+    out: list[tuple] = []
+    html_tree = None
+    if html_ok:
+        try:
+            html_tree = dom.parse_html(text)
+        except Exception:
+            html_tree = None
+    if html_tree is not None:
+        # <base href> itself may be relative to the document URL
+        base = base_href_col
+        if base is None:
+            bases = dom.css_select(html_tree, "base[href]")
+            base = bases[0].get("href") if bases else None
+        if base and page_url:
+            base = absolutize(page_url, base) or page_url
+        base = base or page_url
+
+        if follow_links:
+            i = 0
+            for a in dom.css_select(html_tree, "a[href]"):
+                absu = absolutize(base, a.get("href"))
+                i += 1
+                if absu is None:  # fragment-only (request.go:102-104)
+                    continue
+                out.append((0, i - 1, "link", absu, None, None, None, None, None))
+        if extract_images:
+            parents = _parent_map(html_tree)
+            for i, img in enumerate(dom.css_select(html_tree, "img[src]")):
+                src = img.get("src")
+                image_id = src[6:] if src.startswith("img://") else src
+                caption = None
+                par = parents.get(id(img))
+                if par is not None and par.tag == "figure":
+                    caps = dom.css_select(par, "figcaption")
+                    if caps:
+                        caption = _trim(dom.text_content(caps[0]))  # ChildText trims
+                out.append((1, i, "image", image_id, caption, None, None, None, None))
+
+    for sel_idx, spec in enumerate(css_extractors + xml_extractors, start=2):
+        if spec.xpath:
+            if not xml_ok:
+                continue
+            tree = html_tree if xml_html_mode else dom.parse_xml(text)
+            if tree is None:
+                continue
+        else:
+            if html_tree is None:
+                continue
+            tree = html_tree
+        try:
+            matches = _select(tree, spec, cache)
+        except dom.CssSelectorError:
+            raise
+        for i, el in enumerate(matches):
+            if spec.action == "follow":
+                href = el.get(spec.attr or "href")
+                absu = absolutize(base_href_col or page_url, href) if href else None
+                if absu is None:
+                    continue
+                out.append((sel_idx, i, "link", absu, None, None, None, None, None))
+            else:
+                fields = _element_fields(el, spec) if spec.fields else None
+                value = el.get(spec.attr) if spec.attr else _trim(dom.text_content(el))
+                out.append(
+                    (
+                        sel_idx, i, "element", value, spec.name or spec.selector,
+                        el.tag, dom.text_content(el), dict(el.attrib), fields,
+                    )
+                )
+    return out
+
+
+def make_extract_udf(follow_links: bool = True, extract_images: bool = True,
+                     extractors: tuple = ()):
     from pyspark.sql import functions as F
 
     def extract_matches_pd(
         body: pd.Series, content_type: pd.Series, page_url: pd.Series,
         base_href: pd.Series,
     ) -> pd.Series:
+        cache: dict = {}  # compiled selectors shared across the Arrow batch
         return pd.Series(
             [
-                extract_one(b, ct, u, bh, follow_links, extract_images)
+                extract_one(b, ct, u, bh, follow_links, extract_images,
+                            extractors, cache)
                 for b, ct, u, bh in zip(body, content_type, page_url, base_href)
             ],
             dtype="object",

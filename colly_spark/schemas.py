@@ -113,6 +113,22 @@ VISITS = _s(  # dispatch-order trace: the golden-equality surface
     StructField("round", IntegerType()),
 )
 
+# E2 general OnHTML/OnXML match rows: the HTMLElement surface
+# (htmlelement.go:25-63: Name/Text/attrs + per-callback Index) plus the
+# declarative Unmarshal fields map (unmarshal.go:51-223)
+ELEMENTS = _s(
+    StructField("fetch_seq", LongType()),
+    StructField("url", StringType()),
+    StructField("selector", StringType()),
+    StructField("sel_idx", IntegerType()),
+    StructField("elem_idx", IntegerType()),
+    StructField("tag", StringType()),
+    StructField("text", StringType()),
+    StructField("attrs", MapType(StringType(), StringType())),
+    StructField("fields", MapType(StringType(), StringType())),
+    StructField("round", IntegerType()),
+)
+
 # X2 response cache (http_backend.go:157-200): GET-only, keyed by the
 # request URL hash, 5xx never cached (:177-182), entries expire after
 # cache_expiration_rounds (CacheExpiration :166-170). Stores the page-shaped
