@@ -232,8 +232,9 @@ def q_ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_minhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (no SQL oracle: seeded xxhash signatures;
-    verified against exact Jaccard in tests/test_functions.py)."""
+    """MinHash-LSH near-dup pairs. Oracle: golden parquet computed by an
+    independent pure-Python implementation (tools/make_golden.py, hashing
+    via colly_spark.xxh — validated against Spark in tests/test_xxh.py)."""
     from colly_spark.functions.dedup import minhash_lsh_pairs
 
     d = _read(spark, sf, "documents")
@@ -241,10 +242,21 @@ def q_minhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash signatures (no SQL oracle: bit-level numpy kernel)."""
+    """SimHash signatures (pure-JVM bit kernel). Oracle: golden parquet from
+    the independent pure-Python implementation (tools/make_golden.py)."""
     from colly_spark.functions.dedup import simhash64
 
     return simhash64(_read(spark, sf, "documents")).orderBy("doc_id")
+
+
+def q_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash hamming-ball near-dup pairs (banded bucket join + bit_count
+    verify). Oracle: derivable in SQL from the simhash golden parquet —
+    DuckDB recomputes the band-bucket candidate generation relationally."""
+    from colly_spark.functions.dedup import simhash_neardup_pairs
+
+    d = _read(spark, sf, "documents")
+    return simhash_neardup_pairs(d, max_hamming=3).orderBy("a", "b")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -266,6 +278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_bruteforce": q_ann_bruteforce,
         "q_minhash_neardup": q_minhash_neardup,
         "q_simhash": q_simhash,
+        "q_simhash_neardup": q_simhash_neardup,
     }
 
 
@@ -372,6 +385,51 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id IN (0,1,2,3,4) AND c.vec_id <> q.vec_id) t
             WHERE rank <= 5 ORDER BY query_id, rank
         """,
-        # q_minhash_neardup / q_simhash: intentionally no SQL oracle (seeded
-        # hash kernels) — rows-only check; parity vs exact Jaccard in pytest.
+        # q_minhash_neardup / q_simhash: DuckDB cannot reproduce Spark's
+        # seeded xxhash64, so the oracle is a GOLDEN PARQUET computed by an
+        # independent pure-Python implementation (tools/make_golden.py;
+        # hash kernel validated against Spark bit-for-bit in
+        # tests/test_xxh.py). The driver compares at sf0.01 — these goldens
+        # are generated from /root/testdata/sf0.01/documents.parquet.
+        "q_minhash_neardup": """
+            SELECT a, b, est_jaccard
+            FROM read_parquet('/root/repo/golden/q_minhash_neardup.sf0.01.parquet')
+            ORDER BY a, b
+        """,
+        "q_simhash": """
+            SELECT doc_id, simhash
+            FROM read_parquet('/root/repo/golden/q_simhash.sf0.01.parquet')
+            ORDER BY doc_id
+        """,
+        # the pair finder IS SQL-expressible given the golden signatures:
+        # DuckDB recomputes the 4x16-bit band buckets, the mega-bucket cap,
+        # and the bit_count hamming verify relationally.
+        "q_simhash_neardup": """
+            WITH s AS (
+                SELECT doc_id, simhash
+                FROM read_parquet('/root/repo/golden/q_simhash.sf0.01.parquet')
+            ),
+            bands AS (
+                SELECT doc_id, b.band, (simhash >> (b.band * 16)) & 65535 AS key
+                FROM s, (SELECT UNNEST([0, 1, 2, 3]) AS band) b
+            ),
+            keep AS (
+                SELECT band, key FROM bands GROUP BY band, key
+                HAVING COUNT(*) <= 256
+            ),
+            cand AS (
+                SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                FROM bands l
+                JOIN keep USING (band, key)
+                JOIN bands r USING (band, key)
+                WHERE l.doc_id < r.doc_id
+            )
+            SELECT c.a, c.b,
+                   bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+            FROM cand c
+            JOIN s sa ON sa.doc_id = c.a
+            JOIN s sb ON sb.doc_id = c.b
+            WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+            ORDER BY a, b
+        """,
     }

@@ -65,9 +65,22 @@ def crawl_bench(spark, n_domains: int, pages_per_domain: int) -> dict:
     # politeness budget is part of the JOB, not the cluster: hold the rule
     # constant across parallelism levels so N-vs-4N runs are the same crawl
     rule_par = int(os.environ.get("BENCH_RULE_PARALLELISM", "16"))
+    # multi-process scaling mode (bench_multiproc.py): this process owns the
+    # domains with d % n_shards == shard — domain-hash sharding, the same
+    # partitioning a sharded production crawl uses; cross-shard links fall
+    # to the AllowedDomains filter exactly like off-site links
+    allowed: tuple = ()
+    shard_env = os.environ.get("BENCH_DOMAIN_SHARD") or ""
+    if "/" in shard_env:
+        k, n = (int(x) for x in shard_env.split("/"))
+        allowed = tuple(spec.host(d) for d in range(n_domains) if d % n == k)
+        seeds = seeds.where(
+            F.regexp_extract("url", r"http://d(\d+)\.test", 1).cast("long") % n == k
+        )
     cfg = CrawlConfig(
         max_depth=2,
         ignore_robots_txt=False,
+        allowed_domains=allowed,
         limit_rules=(LimitRule(domain_glob="*.test", delay_ms=0, parallelism=rule_par),),
         shuffle_partitions=shuffle,
     )

@@ -106,6 +106,7 @@ class CrawlConfig:
     max_body_size: int = 10 * 1024 * 1024  # colly.go:499 default 10 MiB
     ignore_robots_txt: bool = True  # colly.go:95,507 (default: ignore)
     parse_http_error_response: bool = False  # colly.go:102
+    detect_charset: bool = False  # colly.go:107; P0 response.go:97-106
     max_requests: int = 0  # colly.go:121 (0 = unlimited)
     max_url_length: int = 0  # extensions/url_length_filter.go:8-14 (0 = off)
     max_redirects: int = 10  # colly.go:1516-1519
@@ -115,6 +116,10 @@ class CrawlConfig:
     # Off by default like a colly Collector without CacheDir (colly.go:91).
     fetch_cache_enabled: bool = False
     cache_expiration_rounds: int = 0
+    # X4 CheckHead (colly.go:537-544): issue a HEAD before every GET; the
+    # GET is skipped when the HEAD errors. HEAD visits take the even
+    # dispatch slots (2k), their GETs the odd (2k+1).
+    check_head: bool = False
 
     # E2/E3 callback surface (colly.go:929-1051): which extractors are
     # active (OnHTML / OnHTMLDetach) and declarative OnRequest-abort
@@ -127,6 +132,27 @@ class CrawlConfig:
     extract_images: bool = True  # OnHTML("figure img + figcaption") registered
     html_extractors: tuple[ExtractorSpec, ...] = ()  # general OnHTML/OnXML
     abort_url_filters: tuple[str, ...] = ()  # regex on canonical URL
+    # E2 OnResponseHeaders abort (http_backend.go:228-232): a response whose
+    # Content-Type matches any regex is dropped after the header read —
+    # ErrAbortedAfterHeaders, body never parsed/cached. The common
+    # "abort binaries by header" callback in declarative form.
+    abort_response_header_filters: tuple[str, ...] = ()
+    # E4 Request.Retry (request.go:157-163) declaratively: a fetch whose
+    # status lands in retry_on_status (0 = network error) is re-submitted
+    # next round with checkRevisit=false (skip_seen_check), same depth, up
+    # to max_retries times. colly leaves the loop to the OnError callback;
+    # the cap replaces the user's own retry bookkeeping.
+    retry_on_status: tuple[int, ...] = ()
+    max_retries: int = 1
+    # X5 proxy rotation (proxy/proxy.go:31-57): round-robin by request —
+    # deterministically proxies[fetch_seq % n], recorded per visit. A no-op
+    # under synthetic fetch beyond the recorded assignment.
+    proxies: tuple[str, ...] = ()
+    # X2 maintenance: every N rounds the cache table is rewritten keeping
+    # only the newest live entry per url_hash and dropping expired rounds
+    # (the reference removes expired cache files; an append-only cache of
+    # full page bodies otherwise grows without bound). 0 = never.
+    fetch_cache_compact_every: int = 8
 
     limit_rules: tuple[LimitRule, ...] = ()
     round_budget_ms: int = 1000  # wall budget a round models for politeness

@@ -61,6 +61,7 @@ CANDIDATES = StructType(
         StructField("elem_idx", IntegerType()),
         StructField("link_idx", IntegerType()),
         StructField("skip_seen_check", BooleanType()),
+        StructField("retries", IntegerType()),
     ]
 )
 
@@ -78,6 +79,7 @@ STATE_SCHEMAS = {
     "candidates": CANDIDATES,
     "seen_filters": bloomseen.SEEN_FILTERS,
     "fetch_cache": schemas.FETCH_CACHE,
+    "cookies": schemas.COOKIES,
 }
 
 
@@ -137,7 +139,8 @@ class Crawler:
         self.robots_kind_fn = robots_op.robots_gate_kind(cfg.user_agent)
         self.validate_udf = payload_op.make_validate_udf()
         self.extract_udf = parse_op.make_extract_udf(
-            cfg.follow_links, cfg.extract_images, cfg.html_extractors
+            cfg.follow_links, cfg.extract_images, cfg.html_extractors,
+            cfg.detect_charset,
         )
         # X3: distributed bounded closure of the (config-static) redirect
         # graph, computed once — never a driver collect (redirect edges are
@@ -147,6 +150,18 @@ class Crawler:
             pages, cfg, self.url_parts_udf, static_filter_kind
         ).persist()
         self._n_redirects = self.redirects.count()
+        # U3 cookies (colly.go:1612-1650): the set/require surface of the
+        # synthetic web is config-static, so one tiny projection decides
+        # whether the crawl pays ANY cookie work. Zero cookie pages (the
+        # normal crawl, and the bench) -> zero extra joins per round.
+        if "set_cookie" in pages.columns:
+            self.cookie_pages = pages.where(
+                F.col("set_cookie").isNotNull() | F.col("require_cookie").isNotNull()
+            ).select("url", "domain", "set_cookie").persist()
+            self._n_cookie_pages = self.cookie_pages.count()
+        else:
+            self.cookie_pages = None
+            self._n_cookie_pages = 0
         self.stats: list[RoundStats] = []
         self._pins: list[DataFrame] = []
 
@@ -186,6 +201,7 @@ class Crawler:
             "lineage": self.store.get("lineage"),
             "robots_cache": self.store.get("robots_cache"),
             "fetch_cache": self.store.get("fetch_cache"),
+            "cookies": self.store.get("cookies"),
         }
 
     def _check_bloom_geometry(self) -> None:
@@ -232,12 +248,14 @@ class Crawler:
                 F.col("seed_seq").cast("int").alias("elem_idx"),
                 F.col("seed_seq").cast("int").alias("link_idx"),
                 F.lit(None).cast("boolean").alias("skip_seen_check"),
+                F.lit(0).alias("retries"),
             )
         rows = seeds
         data = [
             (
                 s["url"], 1, s.get("method", GET), s.get("body"), s.get("ctx") or {},
-                None, -1, -1, int(s.get("seed_seq", i)), int(s.get("seed_seq", i)), None,
+                None, -1, -1, int(s.get("seed_seq", i)), int(s.get("seed_seq", i)),
+                None, 0,
             )
             for i, s in enumerate(rows)
         ]
@@ -398,7 +416,11 @@ class Crawler:
         # BEFORE the fetch and before any politeness token is consumed
         enqueued = F.col("__eligible") & ~budget_full & ~queue_full
         accepted = enqueued & ~F.col("__abort")
-        marked = F.col("__eligible") & ~budget_full  # queue-full rows ARE marked seen
+        # queue-full rows are NOT seen-marked: colly's ErrQueueFull fires in
+        # AddRequest (queue/queue.go:234-236) before scrape's requestCheck
+        # ever runs, so the URL never reaches the visited store — and for
+        # the same reason ErrQueueFull outranks AlreadyVisited below
+        marked = enqueued
         # requestCheck attribution order (colly.go:774-818)
         error_kind = (
             F.when(F.col("__url_bad"), "ErrURLParse")
@@ -406,9 +428,9 @@ class Crawler:
             .when(budget_full, "ErrMaxRequests")
             .when(F.col("__static_kind").isNotNull(), F.col("__static_kind"))
             .when(F.col("__robots_kind").isNotNull(), F.col("__robots_kind"))
+            .when(queue_full, "ErrQueueFull")
             .when(checkable & (F.col("__seen_prev") | (F.col("__prior_marked") > 0)),
                   "AlreadyVisited")
-            .when(queue_full, "ErrQueueFull")
             .when(F.col("__abort"), "AbortedBeforeRequest")
             .otherwise(F.lit(None).cast("string"))
         )
@@ -466,11 +488,28 @@ class Crawler:
             rnd,
         )
 
+        # E5 per-stage lineage: the submit stage's per-partition rows fall
+        # out of the sequencing collect (one row per range partition, zero
+        # extra Spark jobs) — urls_in = submitted, urls_out = eligible
+        self.store.stage_append(
+            "lineage",
+            spark.createDataFrame(
+                [
+                    (rnd, int(pid), "submit", int(v["__rows"]),
+                     int(v["__eligible"]), 0)
+                    for pid, v in tot.get("__per_pid", {}).items()
+                ],
+                schema=schemas.LINEAGE,
+            ),
+            rnd,
+        )
+
         accepted_df = c.where("__accepted").select(
             "url_raw", "canon_url", "domain", "path_query", "url_hash", "depth",
             "method", "body", "ctx", "parent_url", "parent_seq", "sel_idx",
             "elem_idx", "link_idx",
             F.coalesce(F.col("skip_seen_check"), F.lit(False)).alias("skip_seen_check"),
+            F.coalesce(F.col("retries"), F.lit(0)).alias("retries"),
             "rule_idx", "enqueue_seq", F.lit(rnd).alias("round"),
         )
 
@@ -514,6 +553,20 @@ class Crawler:
             dispatch = joined.where(F.col("fetch_seq").isNotNull())
             deferred = joined.where(F.col("fetch_seq").isNull()).drop("fetch_seq")
             n_dispatch = dtot["__disp"]
+        # E5 dispatch-stage lineage: slow path gets true per-partition rows
+        # from the ranking collect; the fast path is a provable identity
+        # mapping, recorded as one summary row
+        disp_rows = (
+            [(rnd, -1, "dispatch", int(n_accepted), int(n_accepted), 0)]
+            if fast_fifo
+            else [
+                (rnd, int(pid), "dispatch", int(v["__rows"]), int(v["__disp"]), 0)
+                for pid, v in dtot.get("__per_pid", {}).items()
+            ]
+        )
+        self.store.stage_append(
+            "lineage", spark.createDataFrame(disp_rows, schema=schemas.LINEAGE), rnd
+        )
         _t2 = _time.time()
         spark.sparkContext.setJobDescription(f"r{rnd}:fetch")
         n_deferred = deferred_prev + n_accepted - n_dispatch
@@ -527,9 +580,14 @@ class Crawler:
         # ---------------- fetch: X2 cache + X3 redirects + X1 content join -
         # X2 (http_backend.go:157-200): GET dispatch rows with a live cache
         # entry skip redirect resolution, hop seen-marking, the content join
-        # and the politeness service time entirely (colly's cache sits in
+        # and the politeness SERVICE TIME (colly's cache sits in
         # backend.Cache, BEFORE Do and its semaphore/sleep). Cached rows
-        # rejoin the pipeline as already-fetched responses.
+        # rejoin the pipeline as already-fetched responses. Deliberate
+        # divergence: cache hits still occupy this round's dispatch tokens
+        # (the split happens after token accounting), so cached and uncached
+        # runs dispatch in IDENTICAL order — the determinism contract
+        # test_fetch_cache locks in. Colly would let a hit bypass the
+        # LimitRule slot, letting uncached same-domain requests run earlier.
         hit = None
         disp_cols = dispatch.columns
         if cfg.fetch_cache_enabled:
@@ -569,7 +627,10 @@ class Crawler:
         d = d.withColumn("is_cycle", F.coalesce("is_cycle", F.lit(False)))
         seen_now = self.store.get("url_seen").select("url_hash").distinct()
         hops = (
-            d.select("fetch_seq", F.posexplode_outer("hops").alias("hop_idx", "hop_url"))
+            d.select(
+                "fetch_seq", "abort_kind", F.size("hops").alias("n_hops"),
+                F.posexplode_outer("hops").alias("hop_idx", "hop_url"),
+            )
             .where(F.col("hop_url").isNotNull())
             .withColumn("hop_hash", F.xxhash64("hop_url", F.lit(b"")))
         )
@@ -646,6 +707,15 @@ class Crawler:
         d = sched_op.salted_repartition(d, cfg.shuffle_partitions, target)
         d = d.withColumn("fetch_partition", F.spark_partition_id())
 
+        page_extra = (
+            [
+                F.col("domain").alias("page_domain"),
+                F.col("set_cookie").alias("page_set_cookie"),
+                F.col("require_cookie").alias("page_require_cookie"),
+            ]
+            if self._n_cookie_pages
+            else []
+        )
         page_cols = self.pages.select(
             F.col("url").alias("__pu"),
             F.col("status").alias("page_status"),
@@ -653,10 +723,69 @@ class Crawler:
             F.col("body").alias("page_body"),
             F.col("base_href").alias("page_base_href"),
             F.col("serve_delay_ms").alias("serve_delay_ms"),
+            *page_extra,
         )
         d = d.join(
             page_cols, F.col("__effective_url") == F.col("__pu"), "left"
         ).drop("__pu")
+
+        setters_chain = None
+        if self._n_cookie_pages:
+            # U3: cookie availability for the final request = the committed
+            # jar (previous rounds, host-keyed) + cookies set by this
+            # request's OWN chain responders (src + hops before the final —
+            # TestSetCookieRedirect's set-then-check flow). require_cookie
+            # is evaluated on final pages only; a failing check serves 403.
+            cmap = F.broadcast(
+                self.cookie_pages.where(F.col("set_cookie").isNotNull()).select(
+                    F.col("url").alias("__cu"),
+                    F.col("domain").alias("__cd"),
+                    F.col("set_cookie").alias("__cck"),
+                )
+            )
+            # chain responders whose response was received: every hop
+            # before a dynamic abort; every hop of a statically aborted
+            # chain; all but the final hop of a completed chain
+            responded = (
+                F.when(F.col("abort_idx").isNotNull(), F.col("hop_idx") < F.col("abort_idx"))
+                .when(F.col("abort_kind").isNotNull(), F.lit(True))
+                .otherwise(F.col("hop_idx") < F.col("n_hops") - 1)
+            )
+            hop_ck = (
+                hops.join(aborts, "fetch_seq", "left")
+                .where(responded)
+                .join(cmap, F.col("hop_url") == F.col("__cu"))
+                .select("fetch_seq", "__cd", "__cck")
+            )
+            setters_chain = hop_ck.select(
+                F.col("__cd").alias("host"), F.col("__cck").alias("cookie")
+            )
+            chain_agg = hop_ck.groupBy("fetch_seq").agg(
+                F.collect_set("__cck").alias("__chain")
+            )
+            d = (
+                d.join(cmap.drop("__cd"), F.col("canon_url") == F.col("__cu"), "left")
+                .drop("__cu")
+                .withColumnRenamed("__cck", "__src_ck")
+                .join(chain_agg, "fetch_seq", "left")
+            )
+            jar = F.broadcast(
+                self.store.get("cookies")
+                .groupBy("host").agg(F.collect_set("cookie").alias("__jar"))
+            )
+            d = d.join(jar, d.page_domain == jar.host, "left").drop("host")
+            req = F.col("page_require_cookie")
+            has = (
+                F.coalesce(F.array_contains("__jar", req), F.lit(False))
+                | F.coalesce(F.array_contains("__chain", req), F.lit(False))
+                | ((F.size(F.coalesce("hops", F.array().cast("array<string>"))) > 0)
+                   & F.coalesce(F.col("__src_ck") == req, F.lit(False)))
+            )
+            d = d.withColumn("__cookie_fail", req.isNotNull() & ~has)
+            d = d.withColumn(
+                "page_status",
+                F.when(F.col("__cookie_fail"), F.lit(403)).otherwise(F.col("page_status")),
+            ).drop("__jar", "__chain")
         if cfg.max_body_size > 0:
             # X1 body cap (http_backend.go:235-237 io.LimitReader): applied
             # at the fetch seam, before parse and before the cache
@@ -671,8 +800,20 @@ class Crawler:
             # cached responses rejoin as already-fetched rows: no redirect
             # hops, no service time (colly's cache path never reaches the
             # LimitRule semaphore), partition of wherever they sit
+            cookie_extra = (
+                [
+                    F.lit(None).cast("string").alias("page_domain"),
+                    F.lit(None).cast("string").alias("page_set_cookie"),
+                    F.lit(None).cast("string").alias("page_require_cookie"),
+                    F.lit(None).cast("string").alias("__src_ck"),
+                    F.lit(False).alias("__cookie_fail"),
+                ]
+                if self._n_cookie_pages
+                else []
+            )
             hit_shaped = hit.select(
                 *disp_cols,
+                *cookie_extra,
                 F.col("__c_final").alias("final_url"),
                 F.lit(None).cast("array<string>").alias("hops"),
                 F.lit(False).alias("is_cycle"),
@@ -690,6 +831,25 @@ class Crawler:
                 F.lit(True).alias("__cache_hit"),
             )
             d = d.unionByName(hit_shaped)
+        # E2 OnResponseHeaders abort (http_backend.go:228-232): a matching
+        # Content-Type kills the response after the header read — before
+        # parse and before the cache write-back. Cache hits never re-enter
+        # Do, so header callbacks don't fire for them (backend.Cache returns
+        # first, http_backend.go:157-165).
+        if cfg.abort_response_header_filters:
+            hdr = F.lit(False)
+            for pat in cfg.abort_response_header_filters:
+                hdr = hdr | F.coalesce(
+                    F.col("page_content_type").rlike(pat), F.lit(False)
+                )
+            hdr = (
+                hdr & ~F.col("__cache_hit") & F.col("__abort_kind2").isNull()
+                & F.col("page_status").isNotNull()
+            )
+            d = d.withColumn(
+                "__abort_kind2",
+                F.when(hdr, F.lit("AbortedAfterHeaders")).otherwise(F.col("__abort_kind2")),
+            )
         # run extraction INSIDE the one persisted fetch frame and drop the
         # body before caching: the parse UDF then provably runs exactly once
         # per page, and the round cache holds skinny match structs instead
@@ -701,6 +861,15 @@ class Crawler:
             & F.col("page_status").isNotNull()
             & ((status < 300) | F.lit(cfg.parse_http_error_response))
         )
+        # X4 CheckHead (colly.go:537-544): a failing HEAD (error status,
+        # missing page, aborted chain) suppresses the GET entirely — no GET
+        # visit, no parse (even under ParseHTTPErrorResponse: there is no
+        # GET response to parse)
+        head_ok = (
+            F.col("page_status").isNotNull() & (status < 300) & ~aborted
+        )
+        if cfg.check_head:
+            parse_ok = parse_ok & head_ok
         d = d.withColumn(
             "__m",
             self.extract_udf(
@@ -711,12 +880,39 @@ class Crawler:
         # bodies stay out of the round cache — except when the response
         # cache is on, which needs them for the write-back below
         d = (d if cfg.fetch_cache_enabled else d.drop("page_body")).persist()
+        if cfg.check_head:
+            # HEAD takes slot 2k, its GET 2k+1: downstream consumers
+            # (children's parent_seq, results, elements, retry) read the
+            # rewritten fetch_seq and stay internally consistent
+            d = (
+                d.withColumn("__fs0", F.col("fetch_seq"))
+                .withColumn("__head_ok", head_ok)
+                .withColumn("fetch_seq", F.lit(2) * F.col("__fs0") + F.lit(1))
+            )
 
-        visits = d.select(
-            "fetch_seq", "enqueue_seq",
-            F.col("canon_url").alias("url"), "url_hash", "domain", "depth",
-            status.alias("status"), "fetch_ms", F.lit(rnd).alias("round"),
-        )
+        # X5 proxy rotation: deterministic round-robin by dispatch order
+        # (proxy/proxy.go:31-38's atomic counter restated as fetch_seq % n)
+        if cfg.proxies:
+            proxy_col = F.element_at(
+                F.array(*[F.lit(p) for p in cfg.proxies]),
+                (F.pmod(F.col("fetch_seq"), F.lit(len(cfg.proxies))) + 1).cast("int"),
+            )
+        else:
+            proxy_col = F.lit(None).cast("string")
+        def _visits_of(frame: DataFrame) -> DataFrame:
+            return frame.select(
+                "fetch_seq", "enqueue_seq",
+                F.col("canon_url").alias("url"), "url_hash", "domain", "depth",
+                status.alias("status"), "fetch_ms", proxy_col.alias("proxy"),
+                F.lit(rnd).alias("round"),
+            )
+
+        if cfg.check_head:
+            visits = _visits_of(
+                d.withColumn("fetch_seq", F.lit(2) * F.col("__fs0"))
+            ).unionByName(_visits_of(d.where("__head_ok")))
+        else:
+            visits = _visits_of(d)
         self.store.stage_append("visits", visits, rnd)
         self.store.stage_append(
             "lineage",
@@ -742,6 +938,33 @@ class Crawler:
             F.lit(rnd).alias("round"),
         )
         self.store.stage_append("errors", fetch_errors, rnd)
+        if self._n_cookie_pages:
+            # U3 jar update (MERGE-shaped): cookies set by responses this
+            # round become visible to next round's requests. Final pages
+            # register require-gated; src/chain responders always (their
+            # responses were received mid-chain).
+            setters_final = d.where(
+                ~aborted & ~F.col("__cookie_fail") & F.col("page_set_cookie").isNotNull()
+            ).select(
+                F.col("page_domain").alias("host"),
+                F.col("page_set_cookie").alias("cookie"),
+            )
+            src_responded = (
+                (F.size(F.coalesce("hops", F.array().cast("array<string>"))) > 0)
+                | F.col("abort_kind").isNotNull()
+            )
+            setters_src = d.where(src_responded & F.col("__src_ck").isNotNull()).select(
+                F.col("domain").alias("host"), F.col("__src_ck").alias("cookie")
+            )
+            new_ck = (
+                setters_final.unionByName(setters_src).unionByName(setters_chain)
+                .distinct()
+                .join(self.store.get("cookies").select("host", "cookie"),
+                      ["host", "cookie"], "left_anti")
+            )
+            self.store.stage_append(
+                "cookies", new_ck.withColumn("round_added", F.lit(rnd)), rnd
+            )
         if cfg.fetch_cache_enabled:
             # write-back: GET misses, final response after redirects, 5xx
             # never cached (http_backend.go:177-182)
@@ -788,13 +1011,53 @@ class Crawler:
             F.col("m.elem_idx").alias("elem_idx"),
             F.col("m.elem_idx").alias("link_idx"),
             F.lit(None).cast("boolean").alias("skip_seen_check"),
+            F.lit(0).alias("retries"),
         )
+        if cfg.retry_on_status:
+            # E4 Request.Retry (request.go:157-163): a failed fetch with a
+            # matching status re-enters next round's frontier with
+            # checkRevisit=false. sel_idx=-2 orders the retry before the
+            # same parent's link children (OnError at colly.go:744 fires
+            # before OnHTML at :759).
+            retry_rows = d.where(
+                ~aborted
+                & (F.col("page_status").isNull() | (status >= 300))
+                & status.isin(*[int(s) for s in cfg.retry_on_status])
+                & (F.coalesce("retries", F.lit(0)) < F.lit(cfg.max_retries))
+            ).select(
+                F.col("canon_url").alias("url_raw"),
+                "depth", "method", "body", "ctx", "parent_url",
+                F.col("fetch_seq").alias("parent_seq"),
+                F.lit(-2).alias("sel_idx"),
+                F.lit(0).alias("elem_idx"),
+                F.lit(0).alias("link_idx"),
+                F.lit(True).alias("skip_seen_check"),
+                (F.coalesce("retries", F.lit(0)) + 1).alias("retries"),
+            )
+            children = children.unionByName(retry_rows)
         self.store.replace("candidates", children, rnd)
         # checkpoint BEFORE counting: the count then reads the materialized
         # blocks instead of executing the parse plan once for the count and
         # a second time for the commit-time checkpoint (measured double-pass)
         self.store.compact(["candidates"])
         n_children = _count(self.store.get("candidates"))
+        # E5 parse-stage lineage: pages in, extracted links out, per fetch
+        # partition (an agg over the cached skinny match frame)
+        self.store.stage_append(
+            "lineage",
+            d.groupBy(F.col("fetch_partition").alias("partition")).agg(
+                F.count(F.lit(1)).alias("urls_in"),
+                F.coalesce(
+                    F.sum(F.size(F.filter("__m", lambda m: m["kind"] == "link"))),
+                    F.lit(0),
+                ).alias("urls_out"),
+            ).select(
+                F.lit(rnd).alias("round"), "partition",
+                F.lit("parse").alias("stage"), "urls_in", "urls_out",
+                F.lit(0).cast("long").alias("fetch_ms"),
+            ),
+            rnd,
+        )
 
         if cfg.html_extractors:
             self.store.stage_append(
@@ -868,6 +1131,8 @@ class Crawler:
         # inside the loop), with their upstream intermediates pinned in
         # cache until that flush
         to_compact = ["url_seen"]
+        if self._n_cookie_pages:
+            to_compact.append("cookies")
         if n_deferred or deferred_prev:
             to_compact.append("pending")
         if not cfg.ignore_robots_txt:
@@ -875,7 +1140,25 @@ class Crawler:
         if cfg.seen_bloom_enabled:
             to_compact.append("seen_filters")
         if cfg.fetch_cache_enabled:
-            to_compact.append("fetch_cache")
+            if cfg.fetch_cache_compact_every and (rnd + 1) % cfg.fetch_cache_compact_every == 0:
+                # X2 maintenance (ADVICE): drop superseded + expired cache
+                # entries — the table carries full page bodies and would
+                # otherwise grow without bound; the reference deletes
+                # expired cache files (http_backend.go:166-170)
+                cache_tbl = self.store.get("fetch_cache")
+                if cfg.cache_expiration_rounds:
+                    cache_tbl = cache_tbl.where(
+                        F.col("fetched_round") > F.lit(rnd - cfg.cache_expiration_rounds)
+                    )
+                wc = Window.partitionBy("url_hash").orderBy(F.desc("fetched_round"))
+                self.store.compact_rewrite(
+                    "fetch_cache",
+                    cache_tbl.withColumn("__rn", F.row_number().over(wc))
+                    .where(F.col("__rn") == 1).drop("__rn"),
+                    rnd,
+                )
+            else:
+                to_compact.append("fetch_cache")
         self.store.compact(to_compact)
         self._pins.extend([c, dispatch, d])
         if len(self._pins) >= 16:

@@ -155,6 +155,8 @@ def page_row(spec: SiteSpec, d: int, j: int) -> dict:
         "image_refs": [iid],
         "gzip_body": False,
         "serve_delay_ms": spec.serve_delay_ms,
+        "set_cookie": None,
+        "require_cookie": None,
     }
 
 
@@ -175,6 +177,8 @@ def _special_rows(spec: SiteSpec, d: int) -> list[dict]:
             "image_refs": [],
             "gzip_body": False,
             "serve_delay_ms": spec.serve_delay_ms,
+            "set_cookie": None,
+            "require_cookie": None,
         }
         r.update(kw)
         return r
@@ -203,6 +207,19 @@ def _special_rows(spec: SiteSpec, d: int) -> list[dict]:
         row("/sub/dir/child"),
         # lone-% page (colly_test.go:1219-1250)
         row("/lone%25"),
+        # non-HTML content type (header-abort / content-gate scenarios)
+        row("/binary", content_type="application/octet-stream",
+            body=b"\x00\x01binary"),
+        # U3 cookies (TestSetCookieRedirect, colly_test.go:2040+): the
+        # set_cookie response redirects to a page that 403s without it —
+        # the cookie must travel within the redirect chain itself
+        row("/set_cookie", status=302, redirect_to=base + "/check_cookie",
+            body=b"", set_cookie="session=1"),
+        row("/check_cookie", require_cookie="session=1"),
+        # plain set-then-need pair (jar persistence across rounds)
+        row("/cookie/set", set_cookie="tok=a",
+            links=["/cookie/need"], body=_html_body(["/cookie/need"], [], None)),
+        row("/cookie/need", require_cookie="tok=a"),
     ]
     # deep chain for MaxDepth (colly_test.go:1754-1796)
     for i in range(1, spec.deep_chain_len + 1):
@@ -307,6 +324,7 @@ def _page_tuple(p: dict):
         p["url"], p["domain"], p["status"], p["content_type"], p["body"],
         p["redirect_to"], p["links"], p["base_href"], p["image_refs"],
         p["gzip_body"], p["serve_delay_ms"],
+        p.get("set_cookie"), p.get("require_cookie"),
     )
 
 

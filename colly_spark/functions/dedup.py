@@ -4,20 +4,19 @@
 - MinHash + LSH: shingle -> minhash signature -> band buckets -> bucket
   self-join. Candidate generation is linear-ish (shuffle on band keys), never
   an O(n^2) cross join — the only shape that survives 100 TB.
-- SimHash: 64-bit near-dup signature; hamming-ball check on band-bucketed
-  candidates.
+- SimHash: 64-bit near-dup signature; hamming-ball verify on band-bucketed
+  candidates (simhash_neardup_pairs).
 - n-gram Jaccard: exact verify step over LSH candidate pairs only.
 
-All signature math runs inside built-in expressions (xxhash64 + aggregate
-over shingle arrays) or vectorized numpy in a pandas UDF for simhash.
+All signature math runs inside built-in JVM expressions (xxhash64 +
+higher-order array functions) — zero Python in any kernel, so every stage
+stays inside whole-stage codegen and the only shuffles are the linear
+bucket-key joins.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import LongType
 
 from colly_spark.functions.text import fingerprint
 
@@ -51,12 +50,15 @@ def minhash_signature(docs: DataFrame, text_col: str = "text",
     projection over the shingle array column.
     """
     sh = shingles(F.col(text_col), k)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
-            for i in range(num_hashes)
-        ]
-    )
+
+    def _minhash(i: int):
+        # helper closure, NOT a defaulted second lambda param: pyspark
+        # dispatches higher-order lambdas on arity, so ``lambda s, i=i``
+        # would bind i to the array-index variable — collapsing all
+        # num_hashes "permutations" into one identical function
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
+
+    sig = F.array(*[_minhash(i) for i in range(num_hashes)])
     return docs.select("doc_id", sig.alias("sig"))
 
 
@@ -67,18 +69,29 @@ def minhash_lsh_pairs(
     bands: int = 8,
     k: int = 3,
     jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 256,
+    on_drop=None,
 ) -> DataFrame:
     """Near-duplicate pairs (a < b) whose estimated Jaccard >= threshold.
 
     banding: signature split into ``bands`` rows of ``num_hashes/bands``;
     docs sharing any band-hash land in a bucket; bucket self-join yields
     candidates; estimated Jaccard = matching signature positions / total.
+
+    100-TB shape guards:
+    - the bucket self-join moves only (doc_id, band, bucket) — signatures
+      re-join onto the deduped pair list afterwards, so the wide ``sig``
+      arrays never ride the candidate shuffle;
+    - buckets larger than ``max_bucket_size`` are dropped (a boilerplate
+      mega-bucket of N identical docs is O(N^2) pairs — at web scale that
+      one bucket IS the job). Pass ``on_drop`` (called with the count of
+      dropped buckets) to log how much was skipped; exact-dup groups that
+      big are exact_dedup's job, not LSH's.
     """
     r = num_hashes // bands
-    sigs = minhash_signature(docs, text_col, num_hashes, k).cache()
+    sigs = minhash_signature(docs, text_col, num_hashes, k).persist()
     banded = sigs.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -93,7 +106,13 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    if max_bucket_size:
+        sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__n"))
+        big = sizes.where(F.col("__n") > max_bucket_size).drop("__n")
+        if on_drop is not None:
+            on_drop(big.count())
+        banded = banded.join(F.broadcast(big), ["band", "bucket"], "left_anti")
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -103,14 +122,14 @@ def minhash_lsh_pairs(
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .select(
-            F.col("l.doc_id").alias("a"),
-            F.col("r.doc_id").alias("b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
-        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
+    # signatures join back onto the (deduped) pair list — two skinny
+    # hash joins instead of carrying 256-byte arrays through the bucket join
+    sa = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+    cand = cand.join(sa, "a").join(sb, "b")
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
@@ -141,34 +160,100 @@ def exact_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
     return out
 
 
+def simhash_col(text_col):
+    """64-bit SimHash as a pure JVM column expression — no Python in the
+    kernel (the earlier pandas-UDF version looped tokens per row, row-at-a-
+    time work in vectorized clothing).
+
+    tokens = distinct whitespace words of lower(text); per token one
+    ``xxhash64``; bit i of the signature is set when at least half the
+    token hashes have bit i set (majority vote). 64 array-aggregate
+    expressions over the token-hash array — one projection, zero shuffles,
+    whole-stage codegen."""
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.coalesce(text_col, F.lit(""))), r"\s+"),
+            lambda t: t != "",
+        )
+    )
+    hs = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(hs)
+    def _bit_sum(i: int):
+        # helper closure: pyspark dispatches on lambda arity, so the bit
+        # index can't ride as a defaulted third lambda parameter
+        return F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)),
+        )
+
+    bit_sum = [_bit_sum(i) for i in range(64)]
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        bit = (bit_sum[i] * 2 >= n.cast("long")).cast("long")
+        sim = sim + F.shiftleft(bit, i)
+    return F.when(n > 0, sim).otherwise(F.lit(0).cast("long"))
+
+
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per doc: sign of per-bit sums of token hashes,
-    vectorized in numpy over Arrow batches."""
+    """doc_id -> 64-bit SimHash (JVM kernel, see :func:`simhash_col`)."""
+    return docs.select("doc_id", simhash_col(F.col(text_col)).alias("simhash"))
 
-    def sim_pd(text: pd.Series) -> pd.Series:
-        out = np.zeros(len(text), dtype=np.int64)
-        for i, t in enumerate(text):
-            toks = (t or "").lower().split()
-            if not toks:
-                continue
-            import hashlib
 
-            hs = np.frombuffer(
-                b"".join(
-                    hashlib.blake2b(w.encode(), digest_size=8).digest() for w in set(toks)
-                ),
-                dtype=np.uint64,
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-            v = np.where(bits.sum(axis=0) * 2 >= len(hs), 1, 0).astype(np.uint64)
-            h = np.uint64(0)
-            for b in range(64):
-                h |= v[b] << np.uint64(b)
-            out[i] = np.int64(h.astype(np.int64))
-        return pd.Series(out)
-
-    udf = F.pandas_udf(sim_pd, LongType())
-    return docs.select("doc_id", udf(F.col(text_col)).alias("simhash"))
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into ``bands``
+    equal bit-slices; docs sharing any slice are candidates (pigeonhole: a
+    pair within hamming distance ``bands - 1`` shares at least one exact
+    band, so ``max_hamming <= bands - 1`` has no false negatives); verify
+    with ``bit_count(a XOR b) <= max_hamming``. Linear bucket shuffle, same
+    mega-bucket cap as MinHash-LSH."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sigs = simhash64(docs, text_col).persist()
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned("simhash", b * width)
+                    .bitwiseAND(F.lit(mask)).alias("key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.key")
+    if max_bucket_size:
+        big = (
+            banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_bucket_size).drop("__n")
+        )
+        banded = banded.join(F.broadcast(big), ["band", "key"], "left_anti")
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    sa = sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sim_a"))
+    sb = sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sim_b"))
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.join(sa, "a").join(sb, "b")
+        .select("a", "b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
 
 
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.97,

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import gzip as _gzip
 import io
+import re
 import xml.etree.ElementTree as ET
 
 import pandas as pd
@@ -132,6 +133,44 @@ def maybe_gunzip(body: bytes, content_type: str | None, path: str) -> bytes:
     return body
 
 
+_CHARSET_RE = re.compile(r"charset=[\"']?([\w.\-]+)", re.IGNORECASE)
+
+
+def detect_charset(body: bytes) -> str:
+    """P0 DetectCharset stand-in (response.go:97-106 uses chardet; this
+    container has no chardet, so: BOM sniff, strict-UTF-8 probe, latin-1
+    fallback — deterministic and sufficient for the fixture corpus)."""
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"
+    try:
+        body.decode("utf-8")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "latin-1"
+
+
+def body_text(decoded: bytes, ct: str | None, detect: bool = False) -> str:
+    """P0 charset fix (response.go:65-116): decode per the Content-Type
+    charset parameter, else (with DetectCharset) a detection heuristic,
+    else UTF-8 with replacement. The image/video/audio/font MIME skip of
+    the reference is inherent here — those types never pass the HTML/XML
+    gates that guard the only call site."""
+    charset = None
+    m = _CHARSET_RE.search(ct or "")
+    if m:
+        charset = m.group(1)
+    if not charset and detect:
+        charset = detect_charset(decoded)
+    if charset:
+        try:
+            return decoded.decode(charset)
+        except (UnicodeDecodeError, LookupError):
+            pass
+    return decoded.decode("utf-8", errors="replace")
+
+
 def _trim(s: str) -> str:
     return s.strip()
 
@@ -151,19 +190,33 @@ def _select(tree: ET.Element, spec, compiled_cache: dict) -> list[ET.Element]:
 
 def _element_fields(el: ET.Element, spec) -> dict:
     """Unmarshal-style declarative extraction (unmarshal.go:51-223): each
-    (name, child_selector, attr) -> first matching descendant's attr or
-    ChildText; empty selector targets the element itself."""
+    (name, child_selector, attr) -> first matching descendant's attr
+    (ChildAttr, htmlelement.go:84-89) or ChildText (htmlelement.go:67-72);
+    empty selector targets the element itself. Plural forms — the reference's
+    []string struct fields / ChildAttrs / ChildTexts (htmlelement.go:75-80,
+    93-101) — use a ``[]`` suffix: attr ``"class[]"`` collects every match's
+    attr, attr ``"[]"`` collects every match's trimmed text; both are
+    JSON-encoded (the fields map is string-valued)."""
+    import json
+
     out = {}
     for name, child_sel, attr in spec.fields:
-        if child_sel:
-            matches = dom.css_select(el, child_sel)
-            target = matches[0] if matches else None
-        else:
-            target = el
+        plural = bool(attr) and attr.endswith("[]")
+        attr_name = attr[:-2] if plural else attr
+        matches = dom.css_select(el, child_sel) if child_sel else [el]
+        if plural:
+            if attr_name:
+                vals = [_trim(m.get(attr_name)) for m in matches if m.get(attr_name) is not None]
+            else:
+                vals = [_trim(dom.text_content(m)) for m in matches]
+            out[name] = json.dumps(vals)
+            continue
+        target = matches[0] if matches else None
         if target is None:
             out[name] = None
-        elif attr:
-            out[name] = target.get(attr)
+        elif attr_name:
+            v = target.get(attr_name)
+            out[name] = _trim(v) if v is not None else None
         else:
             out[name] = _trim(dom.text_content(target))
     return out
@@ -177,6 +230,7 @@ def extract_one(
     follow_links: bool = True,
     extract_images: bool = True,
     extractors: tuple = (),
+    detect_charset_opt: bool = False,
     _cache: dict | None = None,
 ) -> list[tuple]:
     """Extract matches from one page. Pure function — used by the pandas UDF
@@ -204,7 +258,7 @@ def extract_one(
     if not html_ok and not xml_ok:
         return []
     try:
-        text = decoded.decode("utf-8", errors="replace")
+        text = body_text(decoded, ct, detect_charset_opt)
     except Exception:
         return []
 
@@ -282,7 +336,7 @@ def extract_one(
 
 
 def make_extract_udf(follow_links: bool = True, extract_images: bool = True,
-                     extractors: tuple = ()):
+                     extractors: tuple = (), detect_charset_opt: bool = False):
     from pyspark.sql import functions as F
 
     def extract_matches_pd(
@@ -293,7 +347,7 @@ def make_extract_udf(follow_links: bool = True, extract_images: bool = True,
         return pd.Series(
             [
                 extract_one(b, ct, u, bh, follow_links, extract_images,
-                            extractors, cache)
+                            extractors, detect_charset_opt, cache)
                 for b, ct, u, bh in zip(body, content_type, page_url, base_href)
             ],
             dtype="object",

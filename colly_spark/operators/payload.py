@@ -59,5 +59,6 @@ def payload_ok_col(img_ok: Column, caption_parsed: Column, caption_ref: Column) 
     return (
         F.coalesce(img_ok, F.lit(False))
         & caption_parsed.isNotNull()
-        & (caption_parsed == caption_ref)
+        # null-safe: a NULL caption_ref must yield False, not SQL NULL
+        & F.coalesce(caption_parsed == caption_ref, F.lit(False))
     )

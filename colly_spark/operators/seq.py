@@ -68,6 +68,12 @@ def with_ordered_counts(
     totals = {
         "__rows": sum(r["__rows"] for r in counts),
         **{c: sum(r[c] or 0 for r in counts) for c in flag_cols},
+        # per-partition breakdown, free from the same collect — feeds the
+        # north rule's per-partition lineage rows without extra jobs
+        "__per_pid": {
+            r["__pid"]: {"__rows": r["__rows"], **{c: r[c] or 0 for c in flag_cols}}
+            for r in counts
+        },
     }
     offsets: dict[int, list[int]] = {}
     running = [0] * len(flag_cols)

@@ -52,6 +52,7 @@ FRONTIER = _s(
     StructField("elem_idx", IntegerType()),
     StructField("link_idx", IntegerType()),
     StructField("skip_seen_check", BooleanType()),
+    StructField("retries", IntegerType()),  # E4 Request.Retry count
     StructField("rule_idx", IntegerType()),
     StructField("enqueue_seq", LongType()),
     StructField("round", IntegerType()),
@@ -110,6 +111,7 @@ VISITS = _s(  # dispatch-order trace: the golden-equality surface
     StructField("depth", IntegerType()),
     StructField("status", IntegerType()),
     StructField("fetch_ms", LongType()),
+    StructField("proxy", StringType()),  # X5 round-robin assignment
     StructField("round", IntegerType()),
 )
 
@@ -158,6 +160,19 @@ PAGES = _s(
     StructField("image_refs", ArrayType(StringType())),
     StructField("gzip_body", BooleanType()),
     StructField("serve_delay_ms", IntegerType()),
+    # U3 cookie scenarios (colly.go:1612-1650; colly_test.go /set_cookie):
+    # a response may set a cookie; a page may demand one (else 403)
+    StructField("set_cookie", StringType()),
+    StructField("require_cookie", StringType()),
+)
+
+# U3 cookie jar (storage/storage.go:100-128): host-keyed; committed per
+# round, so a cookie becomes visible to requests from the NEXT round on
+# (within a round, redirect chains carry their own hops' cookies live)
+COOKIES = _s(
+    StructField("host", StringType()),
+    StructField("cookie", StringType()),
+    StructField("round_added", IntegerType()),
 )
 
 IMAGES = _s(  # BASELINE.json input_hint, exact shape

@@ -17,12 +17,19 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from colly_spark import xxh
 from colly_spark.config import CrawlConfig, match_rule_idx, tokens_for_rule
 from colly_spark.fixtures import Site
 from colly_spark.robotskit import robots_allowed
 from colly_spark.urlkit import absolutize, canonicalize, hostname, path_query
 
 GET = "GET"
+
+
+def _compiled_header_aborts(cfg: CrawlConfig):
+    import re as _re
+
+    return [_re.compile(p) for p in cfg.abort_response_header_filters]
 
 
 def check_static_filters(canon: str, domain: str, cfg: CrawlConfig) -> str | None:
@@ -67,6 +74,8 @@ def simulate(site: Site, seeds: list[dict], cfg: CrawlConfig, max_rounds: int | 
     robots = site.robots_by_host()
     res = SimResult()
     seen: set = set()
+    jar: dict[str, set] = {}  # U3 cookie jar, committed per round
+    jar_pending: list[tuple[str, str]] = []
     enqueue_counter = 0
     fetch_counter = 0
     built_requests = 0  # colly requestCount (colly.go:705)
@@ -98,6 +107,12 @@ def simulate(site: Site, seeds: list[dict], cfg: CrawlConfig, max_rounds: int | 
             if not robots_allowed(body, cfg.user_agent, path_query(canon)):
                 res.errors.append(_err(None, canon, cand["depth"], "ErrRobotsTxtBlocked", rnd))
                 return
+        # ErrQueueFull fires in AddRequest (queue/queue.go:234-236), before
+        # scrape's requestCheck runs — so a queue-full URL is never
+        # seen-marked and ErrQueueFull outranks AlreadyVisited
+        if cfg.max_queue_size and len(pending) >= cfg.max_queue_size:
+            res.errors.append(_err(None, canon, cand["depth"], "ErrQueueFull", rnd))
+            return
         check_seen = (
             not cand.get("skip_seen_check", False)
             and not cfg.allow_url_revisit
@@ -109,9 +124,6 @@ def simulate(site: Site, seeds: list[dict], cfg: CrawlConfig, max_rounds: int | 
             res.errors.append(_err(None, canon, cand["depth"], "AlreadyVisited", rnd))
             return
         seen.add(key)
-        if cfg.max_queue_size and len(pending) >= cfg.max_queue_size:
-            res.errors.append(_err(None, canon, cand["depth"], "ErrQueueFull", rnd))
-            return
         built_requests += 1
         cand = dict(cand, canon_url=canon, domain=domain, enqueue_seq=enqueue_counter)
         enqueue_counter += 1
@@ -125,47 +137,94 @@ def simulate(site: Site, seeds: list[dict], cfg: CrawlConfig, max_rounds: int | 
 
     def fetch_one(cand: dict, rnd: int) -> None:
         nonlocal fetch_counter
-        fetch_seq = fetch_counter
+        slot = fetch_counter
         fetch_counter += 1
+        # X4 CheckHead: HEAD takes slot 2k, its GET 2k+1 (colly.go:537-544)
+        fetch_seq = 2 * slot + 1 if cfg.check_head else slot
         cur = cand["canon_url"]
         via: list[str] = []
         page = None
         aborted_kind = None
+        chain_cookies: set[str] = set()  # set by this chain's responders
+
+        def register(p: dict) -> None:
+            # a redirect response was received from p: its cookie enters
+            # both the live chain (available to later hops of THIS request)
+            # and next round's jar (U3, colly.go:1612-1650)
+            ck = p.get("set_cookie")
+            if ck is not None:
+                chain_cookies.add(ck)
+                jar_pending.append((p["domain"], ck))
+
         for _hop in range(cfg.max_redirects + 1):
             page = pages.get(cur)
             if page is None or page.get("redirect_to") is None:
                 break
             nxt = canonicalize(page["redirect_to"])
             if nxt is None:
+                register(page)
                 aborted_kind = "ErrURLParse"
                 break
             # per-hop filter re-application (colly.go:1463-1465)
             kind = check_static_filters(nxt, hostname(nxt), cfg)
             if kind:
+                register(page)
                 aborted_kind = kind
                 break
             is_cycle = nxt in via or nxt == cand["canon_url"]
             key = seen_key(nxt, None)
             if not cfg.allow_url_revisit and key in seen and not is_cycle:
+                register(page)
                 aborted_kind = "AlreadyVisited"
                 break
             seen.add(key)  # every hop marked visited (colly.go:1486-1510)
             if is_cycle:
-                break  # stop following; use last response (colly.go:1476-1485)
+                # stop following; use last response (colly.go:1476-1485).
+                # No register: this page IS the final response — its
+                # set_cookie goes through the require-gated final path.
+                break
+            register(page)
             via.append(cur)
             cur = nxt
 
+        # U3 require check on the FINAL page only: the jar (previous
+        # rounds) plus cookies set within this chain; failure serves 403
+        cookie_fail = False
+        if page is not None and aborted_kind is None:
+            req = page.get("require_cookie")
+            if req is not None and req not in (jar.get(page["domain"], set()) | chain_cookies):
+                cookie_fail = True
+
         rule_idx = match_rule_idx(cand["domain"], cfg.limit_rules)
-        delay = cfg.limit_rules[rule_idx].delay_ms if rule_idx >= 0 else 0
+        rule = cfg.limit_rules[rule_idx] if rule_idx >= 0 else None
+        delay = rule.delay_ms if rule else 0
+        # seeded RandomDelay stand-in, SAME formula as the engine
+        # (operators/fetch.py fetch_ms_col): pmod(xxhash64(seed, url_hash),
+        # random_delay) — http_backend.go:210-213's rand term made
+        # deterministic and partition-independent
+        if rule and rule.random_delay_ms:
+            delay += xxh.random_delay_ms(
+                xxh.request_hash(cand["canon_url"], cand["body"]),
+                cfg.seed, rule.random_delay_ms,
+            )
         if page is None:
             status = 0
             fetch_ms = delay
         else:
-            status = page["status"]
+            status = 403 if cookie_fail else page["status"]
             fetch_ms = page["serve_delay_ms"] + delay
-        res.visits.append(
-            {
-                "fetch_seq": fetch_seq,
+        # E2 OnResponseHeaders abort (http_backend.go:228-232): matching
+        # Content-Type kills the response after the header read — preempts
+        # the HTTPError classification and the parse
+        if page is not None and aborted_kind is None and any(
+            p.search(page.get("content_type") or "")
+            for p in _compiled_header_aborts(cfg)
+        ):
+            aborted_kind = "AbortedAfterHeaders"
+
+        def _visit(seq: int) -> dict:
+            return {
+                "fetch_seq": seq,
                 "enqueue_seq": cand["enqueue_seq"],
                 "url": cand["canon_url"],
                 "final_url": cur,
@@ -173,19 +232,64 @@ def simulate(site: Site, seeds: list[dict], cfg: CrawlConfig, max_rounds: int | 
                 "depth": cand["depth"],
                 "status": status,
                 "fetch_ms": fetch_ms,
+                # X5 round-robin proxy assignment (proxy/proxy.go:31-38)
+                "proxy": (cfg.proxies[seq % len(cfg.proxies)]
+                          if cfg.proxies else None),
                 "round": rnd,
             }
-        )
+
+        head_ok = True
+        if cfg.check_head:
+            res.visits.append(_visit(2 * slot))  # the HEAD precheck
+            head_ok = page is not None and aborted_kind is None and status < 300
+        if head_ok:
+            res.visits.append(_visit(fetch_seq))
+        # final page's set_cookie registers require-gated (a 403'd page
+        # does not set; a header-aborted/never-fetched page neither)
+        if page is not None and aborted_kind is None and not cookie_fail:
+            ck = page.get("set_cookie")
+            if ck is not None:
+                jar_pending.append((page["domain"], ck))
+        def _maybe_retry() -> None:
+            # E4 Request.Retry (request.go:157-163): re-submit next round,
+            # checkRevisit=false, same depth; sel_idx=-2 orders the retry
+            # before this parent's link children (OnError precedes OnHTML,
+            # colly.go:744 vs :759)
+            if (
+                cfg.retry_on_status
+                and status in cfg.retry_on_status
+                and cand.get("retries", 0) < cfg.max_retries
+            ):
+                next_children.append(
+                    {
+                        "url": cand["canon_url"],
+                        "depth": cand["depth"],
+                        "method": cand["method"],
+                        "body": cand["body"],
+                        "ctx": cand.get("ctx") or {},
+                        "parent_seq": fetch_seq,
+                        "sel_idx": -2,
+                        "elem_idx": 0,
+                        "link_idx": 0,
+                        "skip_seen_check": True,
+                        "retries": cand.get("retries", 0) + 1,
+                    }
+                )
+
         if aborted_kind:
             res.errors.append(_err(cand["enqueue_seq"], cand["canon_url"], cand["depth"], aborted_kind, rnd, status))
             return
         if page is None:
             res.errors.append(_err(cand["enqueue_seq"], cand["canon_url"], cand["depth"], "ErrFetch", rnd, 0))
+            _maybe_retry()
             return
         ok = status < 300 or cfg.parse_http_error_response
         if status >= 300:
             res.errors.append(_err(cand["enqueue_seq"], cand["canon_url"], cand["depth"], f"HTTPError{status}", rnd, status))
-            if not cfg.parse_http_error_response:
+            _maybe_retry()
+            # under CheckHead a failing HEAD means the GET never happened —
+            # there is no response to parse, ParseHTTPErrorResponse or not
+            if not cfg.parse_http_error_response or cfg.check_head:
                 return
         if not _is_html(page):
             return
@@ -262,6 +366,11 @@ def simulate(site: Site, seeds: list[dict], cfg: CrawlConfig, max_rounds: int | 
         pending = deferred
         for cand in dispatch:
             fetch_one(cand, rnd)
+        # jar commit: cookies set this round become visible next round
+        # (the engine's cookies table commits at the round barrier)
+        for h, ck in jar_pending:
+            jar.setdefault(h, set()).add(ck)
+        jar_pending = []
         new_candidates = next_children
         rnd += 1
 

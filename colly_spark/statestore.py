@@ -48,6 +48,7 @@ class StateStore:
         self.completed_round = -1
         self.counters: dict[str, int] = {}
         self._stage_seq: dict[tuple[str, int], int] = {}
+        self._pending_delete: list[str] = []  # retired by compact_rewrite
         if self.dir:
             os.makedirs(self.dir, exist_ok=True)
             self._load_manifest()
@@ -144,6 +145,34 @@ class StateStore:
             if name in self.tables:
                 self.tables[name] = self.tables[name].localCheckpoint(eager=True)
 
+    def compact_rewrite(self, name: str, df: DataFrame, round_no: int) -> None:
+        """Rewrite an append-mode table to exactly ``df`` (fetch-cache
+        maintenance: drop superseded/expired entries the way the reference
+        deletes expired cache files).
+
+        Disk mode stays crash-safe: the compacted snapshot is written as a
+        new staged subdir first, superseded subdirs are only DELETED after
+        the round's manifest commit (``commit_round``). A crash in between
+        leaves both on disk — resume then reads duplicate rows, which the
+        engine's newest-wins ``row_number`` read path tolerates, and the
+        next compaction removes them."""
+        cols = [f.name for f in self.schemas[name].fields]
+        df = df.select(*cols)
+        if not self.dir:
+            self.tables[name] = df.localCheckpoint(eager=True)
+            return
+        k = self._stage_seq.get((name, round_no), 0)
+        self._stage_seq[(name, round_no)] = k + 1
+        path = os.path.join(self.dir, name, f"round={round_no}__s{k}")
+        df.write.mode("overwrite").parquet(path)  # materialize BEFORE retiring
+        tdir = os.path.join(self.dir, name)
+        for sub in os.listdir(tdir):
+            full = os.path.join(tdir, sub)
+            r = _round_of(sub)
+            if full != path and r is not None and r <= round_no:
+                self._pending_delete.append(full)
+        self.tables[name] = self.spark.read.schema(self.schemas[name]).parquet(path)
+
     def commit_round(self, round_no: int, counters: dict[str, int]) -> None:
         self.completed_round = round_no
         self.counters = dict(counters)
@@ -160,3 +189,8 @@ class StateStore:
         with os.fdopen(fd, "w") as f:
             json.dump({"completed_round": round_no, "counters": self.counters}, f)
         os.replace(tmp, self._manifest_path)  # atomic commit
+        # only now is it safe to retire subdirs superseded by a
+        # compact_rewrite earlier in this round (see its docstring)
+        for full in self._pending_delete:
+            shutil.rmtree(full, ignore_errors=True)
+        self._pending_delete = []

@@ -52,9 +52,14 @@ def test_collector_facade_end_to_end(spark, tabs):
 
 
 def test_unsupported_selector_rejected(spark, tabs):
+    """Arbitrary CSS selectors register (P3 general engine); syntax outside
+    the supported subset (pseudo-classes) fails loudly at registration, not
+    mid-crawl inside the parse UDF."""
     col = Collector(spark, tabs["pages"], tabs["images"], tabs["robots"])
-    with pytest.raises(ValueError, match="unsupported selector"):
+    with pytest.raises(ValueError, match="unsupported CSS selector"):
         col.on_html("div.article > p:nth-child(2)")
+    col.on_html("div.article > p")  # supported combinator form registers
+    assert col.cfg.html_extractors[-1].selector == "div.article > p"
 
 
 def test_detach_stops_link_follow_parity(spark, tabs):
@@ -97,6 +102,72 @@ def test_on_request_abort_parity(spark, tabs):
         ).select(F.xxhash64("url", "body").alias("h")).collect()
     }
     assert eng_seen == exp
+
+
+def _one_page_tabs(spark, url, domain, content_type, body):
+    from colly_spark import schemas
+
+    pages = spark.createDataFrame(
+        [(url, domain, 200, content_type, body, None, [], None, [], False, 0,
+          None, None)],
+        schema=schemas.PAGES,
+    )
+    images = spark.createDataFrame([], schema=schemas.IMAGES)
+    return pages, images
+
+
+def test_on_html_elements_table_e2e(spark):
+    """TestCollectorOnHTML through the whole engine: general selectors land
+    in the elements output table with the HTMLElement surface + Unmarshal
+    fields (colly_test.go:684-726)."""
+    from tests.test_dom import REF_HTML
+
+    pages, images = _one_page_tabs(
+        spark, "http://t.test/html", "t.test", "text/html", REF_HTML)
+    col = (
+        Collector(spark, pages, images, None)
+        .on_html("title", name="title")
+        .on_html("p", name="para")
+        .unmarshal("body", {"first_class": ("p", "class"),
+                            "all_classes": ("p", "class[]")}, name="body")
+        .visit("http://t.test/html")
+    )
+    out = col.wait(max_rounds=2)
+    els = sorted(
+        ((r["selector"], r["elem_idx"], r["tag"], r["text"],
+          dict(r["attrs"] or {}), dict(r["fields"] or {}))
+         for r in out["elements"].collect()),
+    )
+    by_name = {}
+    for sel, idx, tag, text, attrs, fields in els:
+        by_name.setdefault(sel, []).append((idx, tag, text, attrs, fields))
+    assert [t[2] for t in by_name["title"]] == ["Test Page"]
+    assert len(by_name["para"]) == 2
+    assert all(t[3]["class"] == "description" for t in by_name["para"])
+    import json
+    assert by_name["body"][0][4]["first_class"] == "description"
+    assert json.loads(by_name["body"][0][4]["all_classes"]) == [
+        "description", "description"]
+
+
+def test_on_xml_elements_table_e2e(spark):
+    """TestCollectorOnXMLWithXML through the engine (colly_test.go:1607-1653)."""
+    from tests.test_dom import REF_XML
+
+    pages, images = _one_page_tabs(
+        spark, "http://t.test/xml", "t.test", "application/xml", REF_XML)
+    col = (
+        Collector(spark, pages, images, None)
+        .on_xml("//page/title", name="title")
+        .on_xml("//page/paragraph", name="para")
+        .visit("http://t.test/xml")
+    )
+    out = col.wait(max_rounds=2)
+    rows = [(r["selector"], r["text"], dict(r["attrs"] or {}))
+            for r in out["elements"].collect()]
+    assert ("title", "Test Page", {}) in rows
+    assert sum(1 for s, _, a in rows
+               if s == "para" and a.get("type") == "description") == 2
 
 
 def test_extensions_columns(spark):

@@ -1,0 +1,296 @@
+"""P3-P9 parse surface: ports of the reference's extraction tests against
+the pure-Python DOM/CSS/XPath engine and ``extract_one``.
+
+Ports: TestCollectorOnHTML (colly_test.go:684-726), TestHTMLElement
+(colly_test.go:1525-1562), TestCollectorOnXMLWithHtml/XML/XMLCompressed
+(colly_test.go:1564-1658), TestCollectorContentSniffing
+(colly_test.go:728-754), plus unit coverage of the CSS subset. No Spark —
+these run the same pure function the Arrow UDF batches over.
+"""
+
+import gzip
+import json
+
+from colly_spark import dom
+from colly_spark.config import ExtractorSpec
+from colly_spark.operators.parse import (
+    extract_one,
+    is_html_content_type,
+    is_xml_eligible,
+    maybe_gunzip,
+    sniff_content_type,
+)
+
+# the reference test server's /html body (colly_test.go:85-103)
+REF_HTML = b"""<!DOCTYPE html>
+<html>
+<head>
+<title>Test Page</title>
+</head>
+<body>
+<h1>Hello World</h1>
+<p class="description">This is a test page</p>
+<p class="description">This is a test paragraph</p>
+</body>
+</html>
+"""
+
+# the reference testXML fixture (colly_test.go:61-67)
+REF_XML = b"""<?xml version="1.0" encoding="UTF-8"?>
+<page>
+\t<title>Test Page</title>
+\t<paragraph type="description">This is a test page</paragraph>
+\t<paragraph type="description">This is a test paragraph</paragraph>
+</page>"""
+
+
+def _by_sel(matches, sel_idx):
+    return [m for m in matches if m[0] == sel_idx]
+
+
+# ---------------------------------------------------------------------------
+# CSS engine unit coverage
+# ---------------------------------------------------------------------------
+
+HTML = (
+    '<div id="a" class="x y"><p class="x">one</p><span data-k="v1">s1</span>'
+    '<section><p class="y">two</p></section></div>'
+    '<p class="x z">three</p><span data-k="other">s2</span>'
+)
+
+
+def _sel(selector):
+    tree = dom.parse_html(HTML)
+    return dom.css_select(tree, selector)
+
+
+def test_css_tag_class_id_attr():
+    assert [e.get("class") for e in _sel("p")] == ["x", "y", "x z"]
+    assert [dom.text_content(e) for e in _sel(".x")] != []
+    assert {dom.text_content(e) for e in _sel("p.x")} == {"one", "three"}
+    assert [e.get("id") for e in _sel("#a")] == ["a"]
+    assert len(_sel("[data-k]")) == 2
+    assert [dom.text_content(e) for e in _sel('[data-k="v1"]')] == ["s1"]
+    assert [dom.text_content(e) for e in _sel('[data-k^="v"]')] == ["s1"]
+    assert [dom.text_content(e) for e in _sel('[data-k$="er"]')] == ["s2"]
+    assert [dom.text_content(e) for e in _sel('[data-k*="the"]')] == ["s2"]
+    assert {e.get("class") for e in _sel('[class~="z"]')} == {"x z"}
+
+
+def test_css_combinators_groups_order():
+    # descendant vs child
+    assert {dom.text_content(e) for e in _sel("div p")} == {"one", "two"}
+    assert {dom.text_content(e) for e in _sel("div > p")} == {"one"}
+    assert {dom.text_content(e) for e in _sel("div > section > p")} == {"two"}
+    # group: document order across alternatives (goquery semantics)
+    got = [dom.text_content(e) for e in _sel("p.x, span")]
+    assert got == ["one", "s1", "three", "s2"]
+    # deduped when alternatives overlap
+    assert [dom.text_content(e) for e in _sel("p.x, .z")] == ["one", "three"]
+    # universal
+    assert len(_sel("*")) == 7
+
+
+def test_css_unsupported_raises():
+    import pytest
+
+    with pytest.raises(dom.CssSelectorError):
+        dom.compile_css("p:nth-child(2)")
+    with pytest.raises(dom.CssSelectorError):
+        dom.compile_css("a ~ b")
+
+
+def test_lenient_html_unclosed_tags():
+    tree = dom.parse_html("<ul><li>a<li>b</ul><p>x<div>y</div>")
+    assert [dom.text_content(e) for e in dom.css_select(tree, "li")] == ["a", "b"]
+    assert dom.text_content(dom.css_select(tree, "div")[0]) == "y"
+
+
+# ---------------------------------------------------------------------------
+# reference test ports
+# ---------------------------------------------------------------------------
+
+
+def test_html_element_port():
+    """TestHTMLElement (colly_test.go:1525-1562): one a[href] match with
+    Name/Text/Attr surface."""
+    matches = extract_one(
+        b'<a href="http://go-colly.org">Colly</a>',
+        "text/html", "http://x.test/", None,
+        follow_links=False, extract_images=False,
+        extractors=(ExtractorSpec(selector="a[href]"),),
+    )
+    assert len(matches) == 1
+    sel_idx, elem_idx, kind, value, extra, tag, text, attrs, fields = matches[0]
+    assert (sel_idx, elem_idx, kind) == (2, 0, "element")
+    assert tag == "a"
+    assert text == "Colly"
+    assert attrs["href"] == "http://go-colly.org"
+
+
+def test_collector_on_html_port():
+    """TestCollectorOnHTML (colly_test.go:684-726): title text, 2 p matches
+    with class attr, body ChildAttr/ChildAttrs."""
+    extractors = (
+        ExtractorSpec(selector="title"),
+        ExtractorSpec(selector="p"),
+        ExtractorSpec(
+            selector="body",
+            fields=(("first_class", "p", "class"), ("all_classes", "p", "class[]")),
+        ),
+    )
+    matches = extract_one(
+        REF_HTML, "text/html", "http://x.test/html", None,
+        follow_links=False, extract_images=False, extractors=extractors,
+    )
+    titles = _by_sel(matches, 2)
+    assert len(titles) == 1 and titles[0][3] == "Test Page"
+    paragraphs = _by_sel(matches, 3)
+    assert len(paragraphs) == 2
+    assert all(m[7]["class"] == "description" for m in paragraphs)
+    body = _by_sel(matches, 4)
+    assert len(body) == 1
+    assert body[0][8]["first_class"] == "description"
+    assert json.loads(body[0][8]["all_classes"]) == ["description", "description"]
+
+
+def test_collector_on_xml_with_html_port():
+    """TestCollectorOnXMLWithHtml (colly_test.go:1564-1605): HTML-mode XPath
+    because content-type contains 'html'."""
+    extractors = (
+        ExtractorSpec(selector="/html/head/title", xpath=True),
+        ExtractorSpec(selector="/html/body/p", xpath=True),
+        ExtractorSpec(
+            selector="/html/body", xpath=True,
+            fields=(("first_type", "p", "class"), ("all_types", "p", "class[]")),
+        ),
+    )
+    matches = extract_one(
+        REF_HTML, "text/html", "http://x.test/html", None,
+        follow_links=False, extract_images=False, extractors=extractors,
+    )
+    titles = _by_sel(matches, 2)
+    assert len(titles) == 1 and titles[0][3] == "Test Page"
+    paragraphs = _by_sel(matches, 3)
+    assert len(paragraphs) == 2
+    assert all(m[7]["class"] == "description" for m in paragraphs)
+    body = _by_sel(matches, 4)
+    assert body[0][8]["first_type"] == "description"
+    assert json.loads(body[0][8]["all_types"]) == ["description", "description"]
+
+
+def _xml_port_extractors():
+    return (
+        ExtractorSpec(selector="//page/title", xpath=True),
+        ExtractorSpec(selector="//page/paragraph", xpath=True),
+        ExtractorSpec(
+            selector="/page", xpath=True,
+            fields=(("first_type", "paragraph", "type"),
+                    ("all_types", "paragraph", "type[]")),
+        ),
+    )
+
+
+def _assert_xml_port(matches):
+    titles = _by_sel(matches, 2)
+    assert len(titles) == 1 and titles[0][3] == "Test Page"
+    paragraphs = _by_sel(matches, 3)
+    assert len(paragraphs) == 2
+    assert all(m[7]["type"] == "description" for m in paragraphs)
+    body = _by_sel(matches, 4)
+    assert body[0][8]["first_type"] == "description"
+    assert json.loads(body[0][8]["all_types"]) == ["description", "description"]
+
+
+def test_collector_on_xml_with_xml_port():
+    """TestCollectorOnXMLWithXML (colly_test.go:1607-1653) at /xml."""
+    matches = extract_one(
+        REF_XML, "application/xml", "http://x.test/xml", None,
+        follow_links=False, extract_images=False,
+        extractors=_xml_port_extractors(),
+    )
+    _assert_xml_port(matches)
+
+
+def test_collector_on_xml_compressed_port():
+    """TestCollectorOnXMLWithXMLCompressed (colly_test.go:1655-1658): gzip
+    body at a .xml.gz path, no content-type header — gunzip + sniff."""
+    matches = extract_one(
+        gzip.compress(REF_XML), None, "http://x.test/test.xml.gz", None,
+        follow_links=False, extract_images=False,
+        extractors=_xml_port_extractors(),
+    )
+    _assert_xml_port(matches)
+
+
+def test_content_sniffing_port():
+    """TestCollectorContentSniffing (colly_test.go:728-754): no Content-Type
+    header -> body magic sniff -> OnHTML fires."""
+    matches = extract_one(
+        REF_HTML, None, "http://x.test/html", None,
+        follow_links=False, extract_images=False,
+        extractors=(ExtractorSpec(selector="html"),),
+    )
+    assert len(_by_sel(matches, 2)) == 1
+
+
+def test_nonexistent_xml_gz_is_safe():
+    """TestCollectorNonexistentXMLGZ shape: a .xml.gz URL serving a plain
+    text 404 body must not crash the gunzip/parse path."""
+    body = b"404 not found"
+    assert maybe_gunzip(body, None, "/nonexistent.xml.gz") == body
+    assert extract_one(body, None, "http://x.test/nonexistent.xml.gz", None,
+                       follow_links=True, extract_images=False,
+                       extractors=_xml_port_extractors()) == []
+    assert extract_one(b"", None, "http://x.test/empty-response.xml.gz", None,
+                       extractors=_xml_port_extractors()) == []
+
+
+def test_sniff_and_gates():
+    assert sniff_content_type(b"\x1f\x8b\x08rest").startswith("application/x-gzip")
+    assert sniff_content_type(b"<?xml version='1.0'?><a/>") == "text/xml; charset=utf-8"
+    assert sniff_content_type(b"  <html><body>x").startswith("text/html")
+    assert sniff_content_type(b"plain words").startswith("text/plain")
+    assert is_html_content_type("text/html; charset=utf-8")
+    assert is_html_content_type("application/xhtml+xml")
+    assert not is_html_content_type("application/json")
+    assert is_xml_eligible("text/xml", "/a") == (True, False)
+    assert is_xml_eligible("application/rss+xml", "/a") == (True, False)
+    assert is_xml_eligible("text/html", "/a") == (True, True)
+    assert is_xml_eligible(None, "/feed.xml") == (True, False)
+    assert is_xml_eligible(None, "/feed.xml.gz") == (True, False)
+    assert is_xml_eligible("application/json", "/a") == (False, False)
+
+
+def test_charset_decode():
+    """P0 charset fix (response.go:65-116): header charset decodes the
+    body; DetectCharset falls back to a heuristic when the header is bare."""
+    from colly_spark.operators.parse import body_text
+
+    latin = "<html><body><p>café détour</p></body></html>".encode("latin-1")
+    # header charset wins
+    matches = extract_one(
+        latin, "text/html; charset=iso-8859-1", "http://x.test/", None,
+        follow_links=False, extract_images=False,
+        extractors=(ExtractorSpec(selector="p"),),
+    )
+    assert matches[0][6] == "café détour"
+    # without charset + without detection: replacement chars
+    assert "café" not in body_text(latin, "text/html")
+    # DetectCharset heuristic: invalid-UTF8 -> latin-1 fallback
+    assert body_text(latin, "text/html", detect=True) == latin.decode("latin-1")
+    # BOM detection
+    assert body_text("ü".encode("utf-8-sig"), None, detect=True) == "ü"
+
+
+def test_follow_extractor_feeds_links():
+    """A general 'follow' extractor emits absolutized link matches exactly
+    like the built-in a[href] loop edge (request.go:122-124)."""
+    body = b'<div class="nav"><a class="go" href="/x">x</a>' \
+           b'<a class="stay" href="#frag">y</a></div>'
+    matches = extract_one(
+        body, "text/html", "http://x.test/start", None,
+        follow_links=False, extract_images=False,
+        extractors=(ExtractorSpec(selector="a.go", action="follow"),),
+    )
+    assert [(m[0], m[2], m[3]) for m in matches] == [(2, "link", "http://x.test/x")]

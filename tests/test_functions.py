@@ -50,6 +50,48 @@ def test_simhash_near_dup_small_hamming(docs):
     ham = bin((rows[0] ^ rows[2]) & ((1 << 64) - 1)).count("1")
     ham_far = bin((rows[0] ^ rows[3]) & ((1 << 64) - 1)).count("1")
     assert ham < ham_far  # near dup closer than unrelated
+    # the kernel must match the independent pure-Python oracle implementation
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from make_golden import simhash as py_simhash
+    for doc_id, text in DOCS:
+        assert rows[doc_id] == py_simhash(text), doc_id
+
+
+def test_simhash_pair_finder(docs):
+    """Hamming-ball pair finder: banded buckets + bit_count verify; all
+    pairs within the ball found (pigeonhole over 4 bands)."""
+    rows = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in dedup.simhash_neardup_pairs(docs, max_hamming=3).collect()}
+    assert got[(0, 1)] == 0 and got[(0, 5)] == 0 and got[(1, 5)] == 0
+    # exhaustive ground truth at max_hamming=3
+    expected = set()
+    ids = sorted(rows)
+    for i in ids:
+        for j in ids:
+            if i < j and bin((rows[i] ^ rows[j]) & ((1 << 64) - 1)).count("1") <= 3:
+                expected.add((i, j))
+    assert set(got) == expected
+
+
+def test_minhash_mega_bucket_cap(spark):
+    """Buckets above max_bucket_size are dropped (the O(N^2) boilerplate
+    guard): 30 identical docs + 1 near-dup pair, cap 10 -> the identical
+    block contributes no pairs, the pair outside it survives."""
+    docs = [(i, "same boilerplate text repeated for every page here") for i in range(30)]
+    docs += [(100, "a genuinely unique document about bloom filter sizing"),
+             (101, "a genuinely unique document about bloom filter sizes")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    dropped = []
+    pairs = dedup.minhash_lsh_pairs(
+        df, num_hashes=32, bands=8, jaccard_threshold=0.5,
+        max_bucket_size=10, on_drop=dropped.append,
+    )
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (100, 101) in got
+    assert not any(a < 30 and b < 30 for a, b in got)  # mega-bucket dropped
+    assert dropped and dropped[0] >= 8  # all 8 bands of the block were capped
 
 
 @pytest.fixture(scope="module")
