@@ -37,8 +37,15 @@ def crawl_bench(spark, n_domains: int, pages_per_domain: int) -> dict:
         image_w=16,
         image_h=12,
         links_per_page=3,
+        domain_offset=int(os.environ.get("BENCH_DOMAIN_OFFSET", "0")),
     )
     pages = build_pages_spark(spark, spec).persist()
+    if os.environ.get("BENCH_NO_COOKIE_PAGES"):
+        # diagnostic knob: exclude the cookie scenario pages so the engine's
+        # cookie machinery stays fully off
+        pages = pages.where(
+            F.col("set_cookie").isNull() & F.col("require_cookie").isNull()
+        ).persist()
     n_pages = pages.count()  # materialize fixture outside the timed window
     images = spark.createDataFrame(
         [tuple(i.values()) for i in build_images(spec)], schema=schemas.IMAGES
@@ -83,6 +90,7 @@ def crawl_bench(spark, n_domains: int, pages_per_domain: int) -> dict:
         allowed_domains=allowed,
         limit_rules=(LimitRule(domain_glob="*.test", delay_ms=0, parallelism=rule_par),),
         shuffle_partitions=shuffle,
+        seen_bloom_enabled=os.environ.get("BENCH_BLOOM", "1") != "0",
     )
     crawler = Crawler(spark, cfg, pages, images, robots)
     t0 = time.time()

@@ -162,6 +162,13 @@ class CrawlConfig:
     # engine knobs (no reference analog; scale controls)
     shuffle_partitions: int = 32
     seen_bloom_enabled: bool = True  # Bloom pre-filter in front of the exact anti-join
+    # adaptive activation: below this many cumulative enqueued requests the
+    # exact anti-join is strictly cheaper than filter maintenance + probe
+    # (measured 2x whole-crawl wall at a 1M-page fixture), so the Bloom
+    # path arms itself only once the seen set is big enough to matter; at
+    # activation the filters are rebuilt once from url_seen. 0 = always on
+    # (parity tests force this).
+    seen_bloom_min_seen: int = 2_000_000
     seen_bloom_fpp: float = 0.01
     seen_bloom_partitions: int = 64  # sandbox-scale stand-in for 4096 at 10^10
     seen_bloom_capacity_per_partition: int = 65536  # 2.45e6 at the 10^10 point

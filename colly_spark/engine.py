@@ -134,6 +134,7 @@ class Crawler:
         else:
             self._bloom_delivery = cfg.seen_bloom_delivery
         self._bloom_bcs: list = []  # (round, broadcast) pairs pending destroy
+        self._bloom_ready = False  # filters known to cover url_seen fully
         self.url_parts_udf, _ = register_udfs()
         self.rule_idx_udf = sched_op.make_rule_idx_udf(cfg)
         self.robots_kind_fn = robots_op.robots_gate_kind(cfg.user_agent)
@@ -154,14 +155,28 @@ class Crawler:
         # synthetic web is config-static, so one tiny projection decides
         # whether the crawl pays ANY cookie work. Zero cookie pages (the
         # normal crawl, and the bench) -> zero extra joins per round.
+        # A small cookie-page set (the overwhelmingly common case — colly's
+        # jar is an in-process map) collects ONCE to literal map columns:
+        # every per-row cookie decision then folds into the fetch plan as
+        # plain expressions, adding zero joins/aggregations/actions per
+        # round (measured: the join-based path cost ~4x crawl wall on a
+        # 102k-page fixture with 400 never-visited cookie pages). Beyond
+        # the threshold the join-based path takes over.
+        self.cookie_pages = None
+        self._n_cookie_pages = 0
+        self._cookie_set_map: dict[str, str] | None = None
+        self._cookie_dom_map: dict[str, str] | None = None
         if "set_cookie" in pages.columns:
             self.cookie_pages = pages.where(
                 F.col("set_cookie").isNotNull() | F.col("require_cookie").isNotNull()
             ).select("url", "domain", "set_cookie").persist()
             self._n_cookie_pages = self.cookie_pages.count()
-        else:
-            self.cookie_pages = None
-            self._n_cookie_pages = 0
+            if 0 < self._n_cookie_pages <= 10_000:
+                setters = [
+                    r for r in self.cookie_pages.collect() if r["set_cookie"] is not None
+                ]
+                self._cookie_set_map = {r["url"]: r["set_cookie"] for r in setters}
+                self._cookie_dom_map = {r["url"]: r["domain"] for r in setters}
         self.stats: list[RoundStats] = []
         self._pins: list[DataFrame] = []
 
@@ -170,6 +185,10 @@ class Crawler:
         limit = max_rounds if max_rounds is not None else self.cfg.max_rounds
         start_round = self.store.completed_round + 1
         if start_round > 0 and self.cfg.seen_bloom_enabled:
+            # filters are valid on resume iff the previous run maintained
+            # them (bloom was armed); the geometry check below may also
+            # rebuild them, which marks them ready either way
+            self._bloom_ready = bool(self.store.counters.get("bloom_active", 0))
             self._check_bloom_geometry()
         if start_round == 0:
             seeds_df = self._seed_candidates(seeds)
@@ -228,6 +247,7 @@ class Crawler:
                 bloomseen.update_filters(empty, seen, self.bloom_m, self.bloom_k),
                 self.store.completed_round,
             )
+            self._bloom_ready = True
 
     def _seed_candidates(self, seeds) -> DataFrame:
         if isinstance(seeds, DataFrame):
@@ -351,7 +371,28 @@ class Crawler:
         # F5 seen: cross-round flag + intra-batch first-wins (window by hash)
         seen_tbl = self.store.get("url_seen").select("url_hash").distinct()
         seen_flag = seen_tbl.withColumn("__seen_prev", F.lit(True))
-        if cfg.seen_bloom_enabled:
+        # adaptive Bloom arming: below seen_bloom_min_seen cumulative
+        # requests the exact anti-join beats filter maintenance (measured
+        # 2x crawl wall at a 1M-page fixture with a fresh-URL workload), so
+        # the Bloom machinery stays fully dormant until the seen set is
+        # large enough to pay for itself
+        use_bloom = cfg.seen_bloom_enabled and built >= cfg.seen_bloom_min_seen
+        if use_bloom and not self._bloom_ready:
+            # activation round (or resume where bloom was previously
+            # dormant): one-time full rebuild from url_seen — filters must
+            # contain EVERY committed hash or dedup gets false negatives
+            self.store.replace(
+                "seen_filters",
+                bloomseen.update_filters(
+                    self.spark.createDataFrame([], schema=bloomseen.SEEN_FILTERS),
+                    self.store.get("url_seen").select("domain_hash", "url_hash"),
+                    self.bloom_m, self.bloom_k,
+                ),
+                rnd - 1,
+            )
+            self.store.compact(["seen_filters"])
+            self._bloom_ready = True
+        if use_bloom:
             # Bloom pre-filter (§4.3): only maybe-seen rows pay the exact
             # join; Bloom-negative rows are definitively new. False
             # positives just ride through the exact join — no semantic
@@ -367,6 +408,11 @@ class Crawler:
                 )
                 self._bloom_bcs.append((rnd, bc))
                 sk = sk.withColumn("__maybe", might(F.col("url_hash"), F.col("__dh")))
+            # the probed frame is read by BOTH the pos and neg branches —
+            # uncached, each branch would recompute the probe and its whole
+            # upstream (robots join + skinny projection)
+            sk = sk.persist()
+            self._pins.append(sk)
             pos = (
                 sk.where(F.col("__maybe"))
                 .join(seen_flag, on="url_hash", how="left")
@@ -667,7 +713,7 @@ class Crawler:
             )
         )
         self.store.stage_append("url_seen", hops_marked, rnd)
-        if cfg.seen_bloom_enabled:
+        if use_bloom:
             new_hashes = (
                 c.where("__marked")
                 .select(F.col("__dh").alias("domain_hash"), "url_hash")
@@ -736,39 +782,71 @@ class Crawler:
             # request's OWN chain responders (src + hops before the final —
             # TestSetCookieRedirect's set-then-check flow). require_cookie
             # is evaluated on final pages only; a failing check serves 403.
-            cmap = F.broadcast(
-                self.cookie_pages.where(F.col("set_cookie").isNotNull()).select(
-                    F.col("url").alias("__cu"),
-                    F.col("domain").alias("__cd"),
-                    F.col("set_cookie").alias("__cck"),
+            hops_c = F.coalesce("hops", F.array().cast("array<string>"))
+            if self._cookie_set_map is not None:
+                # fast path: the setter-page set is literal map columns, so
+                # src/chain cookie resolution is pure expressions inside
+                # the existing fetch plan — zero extra joins per round.
+                # Chain responders whose response was received: hops before
+                # a dynamic abort; every hop of a statically aborted chain;
+                # all but the final hop of a completed chain.
+                set_map = _lit_map(self._cookie_set_map)
+                resp_len = F.greatest(
+                    F.lit(0),
+                    F.when(F.col("abort_idx").isNotNull(), F.col("abort_idx"))
+                    .when(F.col("abort_kind").isNotNull(), F.size(hops_c))
+                    .otherwise(F.size(hops_c) - 1),
+                ).cast("int")
+                # guard the literal-map lookup: only redirect sources can
+                # contribute a chain cookie, and map-literal element_at is a
+                # linear scan — unguarded it costs O(|setters|) per ROW
+                src_possible = (F.size(hops_c) > 0) | F.col("abort_kind").isNotNull()
+                d = d.withColumn(
+                    "__src_ck",
+                    F.when(src_possible, F.element_at(set_map, F.col("canon_url"))),
                 )
-            )
-            # chain responders whose response was received: every hop
-            # before a dynamic abort; every hop of a statically aborted
-            # chain; all but the final hop of a completed chain
-            responded = (
-                F.when(F.col("abort_idx").isNotNull(), F.col("hop_idx") < F.col("abort_idx"))
-                .when(F.col("abort_kind").isNotNull(), F.lit(True))
-                .otherwise(F.col("hop_idx") < F.col("n_hops") - 1)
-            )
-            hop_ck = (
-                hops.join(aborts, "fetch_seq", "left")
-                .where(responded)
-                .join(cmap, F.col("hop_url") == F.col("__cu"))
-                .select("fetch_seq", "__cd", "__cck")
-            )
-            setters_chain = hop_ck.select(
-                F.col("__cd").alias("host"), F.col("__cck").alias("cookie")
-            )
-            chain_agg = hop_ck.groupBy("fetch_seq").agg(
-                F.collect_set("__cck").alias("__chain")
-            )
-            d = (
-                d.join(cmap.drop("__cd"), F.col("canon_url") == F.col("__cu"), "left")
-                .drop("__cu")
-                .withColumnRenamed("__cck", "__src_ck")
-                .join(chain_agg, "fetch_seq", "left")
-            )
+                d = d.withColumn("__chain_hops", F.slice(hops_c, F.lit(1), resp_len))
+                d = d.withColumn(
+                    "__chain",
+                    F.filter(
+                        F.transform("__chain_hops", lambda h: F.element_at(set_map, h)),
+                        lambda x: x.isNotNull(),
+                    ),
+                )
+            else:
+                # join path (cookie-page set too large to enumerate): the
+                # same semantics via broadcast joins + a per-chain groupBy
+                cmap = F.broadcast(
+                    self.cookie_pages.where(F.col("set_cookie").isNotNull()).select(
+                        F.col("url").alias("__cu"),
+                        F.col("domain").alias("__cd"),
+                        F.col("set_cookie").alias("__cck"),
+                    )
+                )
+                responded = (
+                    F.when(F.col("abort_idx").isNotNull(),
+                           F.col("hop_idx") < F.col("abort_idx"))
+                    .when(F.col("abort_kind").isNotNull(), F.lit(True))
+                    .otherwise(F.col("hop_idx") < F.col("n_hops") - 1)
+                )
+                hop_ck = (
+                    hops.join(aborts, "fetch_seq", "left")
+                    .where(responded)
+                    .join(cmap, F.col("hop_url") == F.col("__cu"))
+                    .select("fetch_seq", "__cd", "__cck")
+                )
+                setters_chain = hop_ck.select(
+                    F.col("__cd").alias("host"), F.col("__cck").alias("cookie")
+                )
+                chain_agg = hop_ck.groupBy("fetch_seq").agg(
+                    F.collect_set("__cck").alias("__chain")
+                )
+                d = (
+                    d.join(cmap.drop("__cd"), F.col("canon_url") == F.col("__cu"), "left")
+                    .drop("__cu")
+                    .withColumnRenamed("__cck", "__src_ck")
+                    .join(chain_agg, "fetch_seq", "left")
+                )
             jar = F.broadcast(
                 self.store.get("cookies")
                 .groupBy("host").agg(F.collect_set("cookie").alias("__jar"))
@@ -778,7 +856,7 @@ class Crawler:
             has = (
                 F.coalesce(F.array_contains("__jar", req), F.lit(False))
                 | F.coalesce(F.array_contains("__chain", req), F.lit(False))
-                | ((F.size(F.coalesce("hops", F.array().cast("array<string>"))) > 0)
+                | ((F.size(hops_c) > 0)
                    & F.coalesce(F.col("__src_ck") == req, F.lit(False)))
             )
             d = d.withColumn("__cookie_fail", req.isNotNull() & ~has)
@@ -811,6 +889,10 @@ class Crawler:
                 if self._n_cookie_pages
                 else []
             )
+            if self._n_cookie_pages and self._cookie_set_map is not None:
+                cookie_extra.append(
+                    F.array().cast("array<string>").alias("__chain_hops")
+                )
             hit_shaped = hit.select(
                 *disp_cols,
                 *cookie_extra,
@@ -943,25 +1025,64 @@ class Crawler:
             # round become visible to next round's requests. Final pages
             # register require-gated; src/chain responders always (their
             # responses were received mid-chain).
-            setters_final = d.where(
-                ~aborted & ~F.col("__cookie_fail") & F.col("page_set_cookie").isNotNull()
-            ).select(
-                F.col("page_domain").alias("host"),
-                F.col("page_set_cookie").alias("cookie"),
-            )
             src_responded = (
                 (F.size(F.coalesce("hops", F.array().cast("array<string>"))) > 0)
                 | F.col("abort_kind").isNotNull()
             )
-            setters_src = d.where(src_responded & F.col("__src_ck").isNotNull()).select(
-                F.col("domain").alias("host"), F.col("__src_ck").alias("cookie")
+            final_set_ok = (
+                ~aborted & ~F.col("__cookie_fail") & F.col("page_set_cookie").isNotNull()
             )
-            new_ck = (
-                setters_final.unionByName(setters_src).unionByName(setters_chain)
-                .distinct()
-                .join(self.store.get("cookies").select("host", "cookie"),
-                      ["host", "cookie"], "left_anti")
-            )
+            if self._cookie_set_map is not None:
+                # fast path: setter entries as per-row array expressions —
+                # one explode inside the cached frame, no unions/joins
+                _EMPTY = F.array().cast("array<struct<host:string,cookie:string>>")
+                set_map = _lit_map(self._cookie_set_map)
+                dom_map = _lit_map(self._cookie_dom_map)
+                chain_setters = F.filter(
+                    F.transform(
+                        "__chain_hops",
+                        lambda h: F.struct(
+                            F.element_at(dom_map, h).alias("host"),
+                            F.element_at(set_map, h).alias("cookie"),
+                        ),
+                    ),
+                    lambda s: s["cookie"].isNotNull(),
+                )
+                src_entry = F.when(
+                    src_responded & F.col("__src_ck").isNotNull(),
+                    F.array(F.struct(F.col("domain").alias("host"),
+                                     F.col("__src_ck").alias("cookie"))),
+                ).otherwise(_EMPTY)
+                final_entry = F.when(
+                    final_set_ok,
+                    F.array(F.struct(F.col("page_domain").alias("host"),
+                                     F.col("page_set_cookie").alias("cookie"))),
+                ).otherwise(_EMPTY)
+                new_ck = (
+                    d.select(F.explode(
+                        F.concat(chain_setters, src_entry, final_entry)
+                    ).alias("s"))
+                    .select("s.host", "s.cookie")
+                    .distinct()
+                    .join(self.store.get("cookies").select("host", "cookie"),
+                          ["host", "cookie"], "left_anti")
+                )
+            else:
+                setters_final = d.where(final_set_ok).select(
+                    F.col("page_domain").alias("host"),
+                    F.col("page_set_cookie").alias("cookie"),
+                )
+                setters_src = d.where(
+                    src_responded & F.col("__src_ck").isNotNull()
+                ).select(
+                    F.col("domain").alias("host"), F.col("__src_ck").alias("cookie")
+                )
+                new_ck = (
+                    setters_final.unionByName(setters_src).unionByName(setters_chain)
+                    .distinct()
+                    .join(self.store.get("cookies").select("host", "cookie"),
+                          ["host", "cookie"], "left_anti")
+                )
             self.store.stage_append(
                 "cookies", new_ck.withColumn("round_added", F.lit(rnd)), rnd
             )
@@ -1137,7 +1258,7 @@ class Crawler:
             to_compact.append("pending")
         if not cfg.ignore_robots_txt:
             to_compact.append("robots_cache")
-        if cfg.seen_bloom_enabled:
+        if use_bloom:
             to_compact.append("seen_filters")
         if cfg.fetch_cache_enabled:
             if cfg.fetch_cache_compact_every and (rnd + 1) % cfg.fetch_cache_compact_every == 0:
@@ -1169,9 +1290,12 @@ class Crawler:
              "pending": n_deferred,
              # Bloom geometry travels with the checkpoint: resuming under a
              # changed (m, k, partitions) would silently turn the filter's
-             # FPP into false negatives — missed dedup (see run())
+             # FPP into false negatives — missed dedup (see run());
+             # bloom_active records whether the filters were maintained, so
+             # a resume knows whether a rebuild is pending at activation
              "bloom_m": self.bloom_m, "bloom_k": self.bloom_k,
-             "bloom_p": cfg.seen_bloom_partitions},
+             "bloom_p": cfg.seen_bloom_partitions,
+             "bloom_active": int(use_bloom)},
         )
         # previous rounds' filter broadcasts are no longer referenced by any
         # live plan (this round's state is checkpointed above); without the
@@ -1206,6 +1330,17 @@ def _abort_match(cfg: CrawlConfig, canon_url):
     for pat in cfg.abort_url_filters:
         out = out | canon_url.rlike(pat)
     return F.coalesce(out, F.lit(False))
+
+
+def _lit_map(m: dict | None):
+    """A dict as a literal MapType column (plan constant). ``element_at``
+    on the null-literal empty form yields NULL, matching a missed lookup."""
+    if not m:
+        return F.lit(None).cast("map<string,string>")
+    pairs: list = []
+    for k, v in m.items():
+        pairs += [F.lit(k), F.lit(v)]
+    return F.create_map(*pairs)
 
 
 def _count(df: DataFrame) -> int:

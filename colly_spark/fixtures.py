@@ -43,9 +43,13 @@ class SiteSpec:
     quirky_links: bool = True  # tabs/newlines/lone-% link forms
     serve_delay_ms: int = 5
     seed: int = 42
+    # namespace shift: domain i is named d{i+offset}.test — lets several
+    # processes generate DISJOINT self-contained webs (multi-process
+    # scaling bench) without any cross-shard edges
+    domain_offset: int = 0
 
     def host(self, d: int) -> str:
-        return f"d{d:02d}.test"
+        return f"d{d + self.domain_offset:02d}.test"
 
     def pages_in_domain(self, d: int) -> int:
         n = self.pages_per_domain

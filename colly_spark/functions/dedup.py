@@ -49,17 +49,22 @@ def minhash_signature(docs: DataFrame, text_col: str = "text",
     F.transform). No Python, no explode: signatures computed in one
     projection over the shingle array column.
     """
-    sh = shingles(F.col(text_col), k)
+    # the shingle array is materialized in its OWN projection: inlining it
+    # into all num_hashes lanes would re-tokenize the document per lane
+    # (measured: interpreted concat_ws/slice eval x32 — minutes per
+    # partition at sf0.1). CollapseProject keeps expensive aliases with
+    # multiple references in a separate project, so __sh computes once.
+    shingled = docs.select("doc_id", shingles(F.col(text_col), k).alias("__sh"))
 
     def _minhash(i: int):
         # helper closure, NOT a defaulted second lambda param: pyspark
         # dispatches higher-order lambdas on arity, so ``lambda s, i=i``
         # would bind i to the array-index variable — collapsing all
         # num_hashes "permutations" into one identical function
-        return F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
+        return F.array_min(F.transform("__sh", lambda s: F.xxhash64(F.lit(i), s)))
 
     sig = F.array(*[_minhash(i) for i in range(num_hashes)])
-    return docs.select("doc_id", sig.alias("sig"))
+    return shingled.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -160,44 +165,43 @@ def exact_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
     return out
 
 
-def simhash_col(text_col):
-    """64-bit SimHash as a pure JVM column expression — no Python in the
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id -> 64-bit SimHash as pure JVM expressions — no Python in the
     kernel (the earlier pandas-UDF version looped tokens per row, row-at-a-
     time work in vectorized clothing).
 
     tokens = distinct whitespace words of lower(text); per token one
     ``xxhash64``; bit i of the signature is set when at least half the
-    token hashes have bit i set (majority vote). 64 array-aggregate
-    expressions over the token-hash array — one projection, zero shuffles,
-    whole-stage codegen."""
+    token hashes have bit i set (majority vote). The token-hash array is
+    materialized in its OWN projection so the 64 per-bit aggregates scan a
+    computed array column — inlined, each aggregate would re-tokenize and
+    re-hash the document (a 64x blowup of interpreted string work)."""
     toks = F.array_distinct(
         F.filter(
-            F.split(F.lower(F.coalesce(text_col, F.lit(""))), r"\s+"),
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
             lambda t: t != "",
         )
     )
-    hs = F.transform(toks, lambda t: F.xxhash64(t))
-    n = F.size(hs)
+    hashed = docs.select(
+        "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("__hs")
+    )
+    n = F.size("__hs")
+
     def _bit_sum(i: int):
         # helper closure: pyspark dispatches on lambda arity, so the bit
-        # index can't ride as a defaulted third lambda parameter
+        # index can't ride as a defaulted extra lambda parameter
         return F.aggregate(
-            hs,
+            "__hs",
             F.lit(0).cast("long"),
             lambda acc, h: acc + F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)),
         )
 
-    bit_sum = [_bit_sum(i) for i in range(64)]
     sim = F.lit(0).cast("long")
     for i in range(64):
-        bit = (bit_sum[i] * 2 >= n.cast("long")).cast("long")
+        bit = (_bit_sum(i) * 2 >= n.cast("long")).cast("long")
         sim = sim + F.shiftleft(bit, i)
-    return F.when(n > 0, sim).otherwise(F.lit(0).cast("long"))
-
-
-def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id -> 64-bit SimHash (JVM kernel, see :func:`simhash_col`)."""
-    return docs.select("doc_id", simhash_col(F.col(text_col)).alias("simhash"))
+    sim = F.when(n > 0, sim).otherwise(F.lit(0).cast("long"))
+    return hashed.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_neardup_pairs(

@@ -43,6 +43,7 @@ import gzip as _gzip
 import io
 import re
 import xml.etree.ElementTree as ET
+from html.parser import HTMLParser
 
 import pandas as pd
 from pyspark.sql.types import (
@@ -55,6 +56,7 @@ from pyspark.sql.types import (
 )
 
 from colly_spark import dom
+from colly_spark.dom import IMPLICIT_CLOSERS, VOID_ELEMENTS
 from colly_spark.urlkit import absolutize
 
 MATCH_SCHEMA = ArrayType(
@@ -222,6 +224,115 @@ def _element_fields(el: ET.Element, spec) -> dict:
     return out
 
 
+class _FastBuiltins(HTMLParser):
+    """One-pass streaming extractor for the built-in selectors only
+    (a[href] links, img[src] + figure>figcaption pairs, base[href]).
+
+    The general path builds a full ElementTree and walks it per selector —
+    right for arbitrary CSS, but ~10x the work when only the two built-ins
+    are registered, and the built-ins ARE the crawl hot path (100 TB of
+    pages pay this kernel). Produces byte-identical matches to the DOM path
+    (asserted by tests/test_dom.py::test_fast_path_equals_dom_path)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.base_href: str | None = None
+        self.links: list[str] = []
+        self.images: list[list] = []  # [src, figure_idx | None]
+        self.fig_caption: dict[int, str] = {}  # figure_idx -> first figcaption
+        self._stack: list[str] = []  # open non-void tags
+        self._fig_stack: list[int] = []  # open figure indexes
+        self._fig_count = 0
+        self._cap_fig: int | None = None  # figure whose figcaption is open
+        self._cap_parts: list[str] = []
+
+    def _open(self, tag: str, attrs, void: bool) -> None:
+        a = dict(attrs)
+        if tag == "base" and self.base_href is None and a.get("href") is not None:
+            self.base_href = a["href"]
+        elif tag == "a" and a.get("href") is not None:
+            self.links.append(a["href"])
+        elif tag == "img" and a.get("src") is not None:
+            parent_fig = (
+                self._fig_stack[-1]
+                if self._stack and self._stack[-1] == "figure" and self._fig_stack
+                else None
+            )
+            self.images.append([a["src"], parent_fig])
+        if void:
+            return
+        # mirror dom._TreeBuilder's implicit closers so parent-of-img
+        # agrees with the DOM path on li/p/td-style markup
+        closers = IMPLICIT_CLOSERS.get(tag)
+        if closers and self._stack and self._stack[-1] in closers:
+            self._pop()
+        if tag == "figcaption" and self._cap_fig is None and self._fig_stack:
+            fig = self._fig_stack[-1]
+            if fig not in self.fig_caption:
+                self._cap_fig = fig
+                self._cap_parts = []
+        if tag == "figure":
+            self._fig_stack.append(self._fig_count)
+            self._fig_count += 1
+        self._stack.append(tag)
+
+    def _pop(self) -> None:
+        t = self._stack.pop()
+        if t == "figure" and self._fig_stack:
+            self._fig_stack.pop()
+        if t == "figcaption" and self._cap_fig is not None:
+            self.fig_caption[self._cap_fig] = "".join(self._cap_parts)
+            self._cap_fig = None
+
+    def handle_starttag(self, tag, attrs):
+        self._open(tag, attrs, tag in VOID_ELEMENTS)
+
+    def handle_startendtag(self, tag, attrs):
+        self._open(tag, attrs, True)
+
+    def handle_endtag(self, tag):
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i] == tag:
+                while len(self._stack) > i:
+                    self._pop()
+                return
+
+    def handle_data(self, data):
+        if self._cap_fig is not None and data:
+            self._cap_parts.append(data)
+
+
+def _fast_extract(text: str, page_url: str | None, base_href_col: str | None,
+                  follow_links: bool, extract_images: bool) -> list[tuple]:
+    p = _FastBuiltins()
+    try:
+        p.feed(text)
+        p.close()
+    except Exception:
+        return []
+    base = base_href_col
+    if base is None:
+        base = p.base_href
+    if base and page_url:
+        base = absolutize(page_url, base) or page_url
+    base = base or page_url
+    out: list[tuple] = []
+    if follow_links:
+        for i, href in enumerate(p.links):
+            absu = absolutize(base, href)
+            if absu is None:  # fragment-only (request.go:102-104)
+                continue
+            out.append((0, i, "link", absu, None, None, None, None, None))
+    if extract_images:
+        for i, (src, fig) in enumerate(p.images):
+            image_id = src[6:] if src.startswith("img://") else src
+            caption = None
+            if fig is not None and fig in p.fig_caption:
+                caption = _trim(p.fig_caption[fig])
+            out.append((1, i, "image", image_id, caption, None, None, None, None))
+    return out
+
+
 def extract_one(
     body: bytes | None,
     content_type: str | None,
@@ -261,6 +372,11 @@ def extract_one(
         text = body_text(decoded, ct, detect_charset_opt)
     except Exception:
         return []
+
+    if not extractors and html_ok:
+        # built-ins only: the one-pass streaming kernel (crawl hot path)
+        return _fast_extract(text, page_url, base_href_col,
+                             follow_links, extract_images)
 
     cache = _cache if _cache is not None else {}
     out: list[tuple] = []

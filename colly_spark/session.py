@@ -25,6 +25,15 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # multi-process co-location (bench_multiproc): without this each
+        # local-mode JVM sizes its GC/JIT/netty pools for ALL host cores —
+        # four co-located JVMs then run 4x32 service threads on 32 cores
+        # and collapse (measured 4.4x per-process slowdown at 4 procs)
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ActiveProcessorCount={os.environ.get('SPARK_GRAFT_PROC_CPUS', cpus)}"
+            + " " + os.environ.get("SPARK_GRAFT_JAVA_OPTS", ""),
+        )
         # cap plan-string rendering: AQE re-renders the explain string on
         # every plan update; unbounded renders of deep iterative plans can
         # OOM the driver heap

@@ -83,6 +83,7 @@ def test_engine_parity_bloom_vs_exact_vs_simulator(spark, bloom_site):
             max_depth=3,
             ignore_robots_txt=False,
             seen_bloom_enabled=bloom,
+            seen_bloom_min_seen=0,  # force immediate arming at fixture scale
             seen_bloom_partitions=8,
             seen_bloom_capacity_per_partition=4096,
             shuffle_partitions=8,

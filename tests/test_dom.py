@@ -283,6 +283,36 @@ def test_charset_decode():
     assert body_text("ü".encode("utf-8-sig"), None, detect=True) == "ü"
 
 
+def test_fast_path_equals_dom_path():
+    """The streaming built-ins kernel (crawl hot path) must produce
+    byte-identical matches to the general DOM path on every fixture shape:
+    quirky links, base tags, figure/img/figcaption in both orders, images
+    outside figures, fragment links, implicit closers."""
+    from colly_spark.fixtures import SiteSpec, build_site
+
+    bodies = [p["body"] for p in build_site(SiteSpec(n_domains=2, pages_per_domain=6)).pages]
+    bodies += [
+        REF_HTML,
+        b'<figure><figcaption> cap first </figcaption><img src="img://x"/></figure>',
+        b'<figure><img src="img://a"/><img src="img://b"/><figcaption>c</figcaption></figure>',
+        b'<img src="free"/><a href="#frag">f</a><a href="/go">g</a>',
+        b'<base href="/sub/"><a href="child">c</a>',
+        b'<ul><li><a href="/one">1</a><li><a href="/two">2</a></ul>',
+        b'<figure><div><figcaption>nested <b>bold</b> cap</figcaption></div><img src="img://n"/></figure>',
+        b'<figure><img src="img://nocap"/></figure>',
+    ]
+    for body in bodies:
+        url = "http://x.test/page/0"
+        fast = extract_one(body, "text/html", url, None, True, True, ())
+        # force the DOM path by registering a never-matching extractor and
+        # dropping its (empty) matches
+        slow = [m for m in extract_one(
+            body, "text/html", url, None, True, True,
+            (ExtractorSpec(selector="nonexistenttag"),),
+        ) if m[0] < 2]
+        assert fast == slow, body
+
+
 def test_follow_extractor_feeds_links():
     """A general 'follow' extractor emits absolutized link matches exactly
     like the built-in a[href] loop edge (request.go:122-124)."""
