@@ -91,6 +91,15 @@ def crawl_bench(spark, n_domains: int, pages_per_domain: int) -> dict:
         limit_rules=(LimitRule(domain_glob="*.test", delay_ms=0, parallelism=rule_par),),
         shuffle_partitions=shuffle,
         seen_bloom_enabled=os.environ.get("BENCH_BLOOM", "1") != "0",
+        # BENCH_BLOOM_MIN_SEEN=0 arms the Bloom path from round 0 (the
+        # committed under-load evidence for the cogroup/broadcast probe);
+        # BENCH_BLOOM_DELIVERY=cogroup forces the partition-local 10^10
+        # delivery mode regardless of filter-set size
+        seen_bloom_min_seen=int(
+            os.environ.get("BENCH_BLOOM_MIN_SEEN",
+                           str(CrawlConfig.seen_bloom_min_seen))
+        ),
+        seen_bloom_delivery=os.environ.get("BENCH_BLOOM_DELIVERY", "auto"),
     )
     crawler = Crawler(spark, cfg, pages, images, robots)
     t0 = time.time()

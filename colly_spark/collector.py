@@ -87,6 +87,7 @@ class Collector:
         attr: str | None = None,
         fields: dict | None = None,
         name: str | None = None,
+        break_selector: str | None = None,
     ) -> "Collector":
         """Register an OnHTML extractor (colly.go:929-942).
 
@@ -102,10 +103,11 @@ class Collector:
         ``{field: ("child selector", "attr")}`` for ChildAttr.
         """
         shortcut = SUPPORTED_SELECTORS.get(selector)
-        if shortcut is not None and not (follow or attr or fields):
+        if shortcut is not None and not (follow or attr or fields or break_selector):
             self.cfg = replace(self.cfg, **{shortcut: True})
             return self
-        return self._register(selector, follow, attr, fields, name, xpath=False)
+        return self._register(selector, follow, attr, fields, name, xpath=False,
+                              break_selector=break_selector)
 
     def on_xml(
         self,
@@ -121,12 +123,15 @@ class Collector:
         paths get strict XML."""
         return self._register(xpath, follow, attr, fields, name, xpath=True)
 
-    def _register(self, selector, follow, attr, fields, name, xpath) -> "Collector":
+    def _register(self, selector, follow, attr, fields, name, xpath,
+                  break_selector=None) -> "Collector":
         from colly_spark import dom
         from colly_spark.config import ExtractorSpec
 
         if not xpath:
             dom.compile_css(selector)  # fail at registration, not mid-crawl
+            if break_selector:
+                dom.compile_css(break_selector)
         spec = ExtractorSpec(
             selector=selector,
             action="follow" if follow else "extract",
@@ -137,6 +142,7 @@ class Collector:
             ),
             xpath=xpath,
             name=name,
+            break_selector=break_selector,
         )
         self.cfg = replace(
             self.cfg, html_extractors=self.cfg.html_extractors + (spec,)
@@ -180,6 +186,32 @@ class Collector:
             )
         return self
 
+    def on_request_headers(
+        self, abort_if: tuple[str, str] | None = None
+    ) -> "Collector":
+        """Register an OnRequestHeaders tap (colly.go:736-739; abort at
+        http_backend.go:215-217). Declarative form only: ``abort_if`` is a
+        ``(header_name, value_regex)`` pair over the MERGED request headers
+        (defaults + per-request + User-Agent); a match kills the request
+        after its politeness slot but before it is sent
+        (ErrAbortedBeforeRequest)."""
+        if abort_if is not None:
+            self.cfg = replace(
+                self.cfg,
+                abort_request_header_filters=self.cfg.abort_request_header_filters
+                + (tuple(abort_if),),
+            )
+        return self
+
+    def set_headers(self, headers: dict[str, str]) -> "Collector":
+        """Collector-default request headers (colly Collector.Headers,
+        colly.go:645-657): merged into every request that carries none of
+        its own."""
+        self.cfg = replace(
+            self.cfg, default_headers=tuple(sorted(headers.items()))
+        )
+        return self
+
     def on_response(self, fn: Callable[[DataFrame], object]) -> "Collector":
         self._taps.append(("visits", fn))
         return self
@@ -194,8 +226,12 @@ class Collector:
 
     # ---------------- crawling ----------------
 
-    def visit(self, url: str) -> "Collector":
-        self._seeds.append({"url": url, "seed_seq": len(self._seeds)})
+    def visit(self, url: str, headers: dict[str, str] | None = None) -> "Collector":
+        """Queue a seed; ``headers`` rides on the request (the queue
+        AddRequest path that preserves Request.Headers)."""
+        self._seeds.append(
+            {"url": url, "seed_seq": len(self._seeds), "headers": headers}
+        )
         return self
 
     def wait(self, max_rounds: int | None = None) -> dict:
@@ -244,7 +280,8 @@ class Collector:
             self.spark, self.tables["pages"], self.tables["images"],
             self.tables["robots"], checkpoint_dir=self.checkpoint_dir,
             config=replace(self.cfg, follow_links=False, extract_images=False,
-                           html_extractors=(), abort_url_filters=()),
+                           html_extractors=(), abort_url_filters=(),
+                           abort_request_header_filters=()),
         )
 
 

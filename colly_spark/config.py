@@ -81,7 +81,14 @@ class ExtractorSpec:
 
     ``xpath=True`` makes ``selector`` an XPath evaluated per the XML gate
     (colly.go:1241-1259); otherwise it is a CSS selector (tag/.class/#id/
-    [attr(=val)] compounds, descendant and ``>`` combinators, groups).
+    [attr(=val)] compounds, descendant/``>``/``+``/``~`` combinators,
+    groups).
+
+    ``break_selector`` is ForEachWithBreak (htmlelement.go:119-131) in
+    declarative form: iteration over this spec's matches stops at the first
+    match that ALSO matches ``break_selector`` (that element and everything
+    after it are not emitted) — the ``return false`` of the reference's
+    callback restated as a stop predicate.
     """
 
     selector: str
@@ -90,6 +97,7 @@ class ExtractorSpec:
     fields: tuple[tuple[str, str, str | None], ...] = ()
     xpath: bool = False
     name: str | None = None
+    break_selector: str | None = None
 
 
 @dataclass(frozen=True)
@@ -128,6 +136,19 @@ class CrawlConfig:
     # MaxRequests budget (colly assigns Request.ID first), but is never
     # fetched and consumes no politeness tokens (the LimitRule semaphore
     # sits inside backend.Do, past the abort point).
+    # Request headers (colly.go:645-657): a request carrying NO headers
+    # gets the collector defaults; User-Agent is set on top unless already
+    # present. Seeds may carry per-request maps (queue AddRequest /
+    # UnmarshalRequest preserve Headers); link children never do
+    # (Request.Visit passes hdr=nil, request.go:122-124).
+    default_headers: tuple[tuple[str, str], ...] = ()
+    # E2 OnRequestHeaders abort (http_backend.go:215-217,
+    # ErrAbortedBeforeRequest): declarative (header_name, value_regex)
+    # predicates over the MERGED request headers, evaluated after the
+    # LimitRule slot is taken (the politeness token is consumed and the
+    # delay still sleeps — the deferred release in Do) but before the
+    # request is sent: no response, no redirect hops, no cookies.
+    abort_request_header_filters: tuple[tuple[str, str], ...] = ()
     follow_links: bool = True  # OnHTML("a[href]") registered
     extract_images: bool = True  # OnHTML("figure img + figcaption") registered
     html_extractors: tuple[ExtractorSpec, ...] = ()  # general OnHTML/OnXML
@@ -177,6 +198,13 @@ class CrawlConfig:
     # path); 'auto' picks by the statically-known total size
     seen_bloom_delivery: str = "auto"
     seen_bloom_broadcast_max_bytes: int = 64 * 1024 * 1024
+    # url_seen base/tail maintenance (statestore bucketed tables): recent
+    # appends live in a small broadcast-joined tail; every N rounds the
+    # tail folds into the hash-partitioned base with one shuffle. The base
+    # side of the per-round seen probe never re-shuffles (its partitioning
+    # survives the checkpoint), so per-round seen cost is O(frontier +
+    # tail), not O(all URLs ever seen) — the 10^10-URL cliff §4.3 removes.
+    seen_merge_every: int = 8
     max_rounds: int = 64
 
     extra: dict = field(default_factory=dict, compare=False, hash=False)

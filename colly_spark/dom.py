@@ -9,9 +9,13 @@ evaluates both selector languages over it:
 
 - CSS subset: tag, ``*``, ``.class``, ``#id``, ``[attr]``, ``[attr=val]``,
   ``[attr~=val]``, ``[attr^=]``/``[attr$=]``/``[attr*=]``, compounds
-  (``a.cls[href]``), descendant (space) and child (``>``) combinators, and
-  selector groups (``,``). Matches are returned in document order, which is
-  what gives HTMLElement.Index its meaning (htmlelement.go:38).
+  (``a.cls[href]``), descendant (space), child (``>``), adjacent-sibling
+  (``+``) and general-sibling (``~``) combinators, and selector groups
+  (``,``). Matching backtracks over candidate ancestors/siblings (a chain
+  like ``x > y z`` matches via an OUTER y when the nearest y's parent is
+  not x — same as real CSS engines). Matches are returned in document
+  order, which is what gives HTMLElement.Index its meaning
+  (htmlelement.go:38).
 - XPath subset: absolute (``/html/body/p``) and anywhere (``//page/title``)
   paths, ``*``, ``[@attr]``/``[@attr='v']``/``[tag]`` predicates — the
   forms colly's own tests exercise (colly_test.go:1573-1631) — delegated to
@@ -161,24 +165,48 @@ def _compile_compound(s: str) -> list[tuple]:
 
 def compile_css(selector: str) -> list[list[tuple]]:
     """Selector group -> list of chains; chain = [(combinator, compound)...]
-    right-to-left with combinators '' (rightmost), ' ' (descendant), '>'."""
+    where a compound's combinator relates it to the compound on its LEFT:
+    '' (leftmost), ' ' (descendant), '>' (child), '+' (adjacent sibling),
+    '~' (general sibling)."""
     chains = []
     for alt in selector.split(","):
         alt = alt.strip()
         if not alt:
             raise CssSelectorError(f"empty alternative in {selector!r}")
-        parts = re.split(r"\s*(>)\s*|\s+", alt)
-        seq: list[tuple] = []  # (combinator_to_next, compound_tests)
-        comb = ""
-        for p in parts:
-            if p is None or p == "":
+        # bracket-aware tokenization: '~' and whitespace inside [attr~=v]
+        # are part of the compound, not combinators
+        parts: list[str] = []
+        buf: list[str] = []
+        depth = 0
+        for ch in alt:
+            if ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth = max(0, depth - 1)
+            if depth == 0 and ch in " \t>+~":
+                if buf:
+                    parts.append("".join(buf))
+                    buf = []
+                if ch in ">+~":
+                    parts.append(ch)
                 continue
-            if p == ">":
-                comb = ">"
+            buf.append(ch)
+        if buf:
+            parts.append("".join(buf))
+        seq: list[tuple] = []  # (combinator_to_previous, compound_tests)
+        comb = ""
+        pending = False  # a combinator token awaiting its right-hand compound
+        for p in parts:
+            if p in (">", "+", "~"):
+                if pending or not seq:
+                    raise CssSelectorError(f"dangling combinator in {alt!r}")
+                comb = p
+                pending = True
                 continue
             seq.append((comb, _compile_compound(p)))
             comb = " "
-        if not seq:
+            pending = False
+        if not seq or pending:
             raise CssSelectorError(f"cannot parse selector {alt!r}")
         chains.append(seq)
     return chains
@@ -217,44 +245,77 @@ def _matches_compound(el: ET.Element, tests: list[tuple]) -> bool:
 
 def css_select(root: ET.Element, selector: str | list) -> list[ET.Element]:
     """All elements under ``root`` matching the selector group, in document
-    order, deduped across alternatives (goquery semantics)."""
+    order, deduped across alternatives (goquery semantics).
+
+    Matching is a right-to-left BACKTRACKING walk: when a descendant (' ')
+    or general-sibling ('~') step has several candidates, every one is
+    tried recursively — a greedy nearest-candidate commit would falsely
+    reject e.g. ``x > y z`` when the nearest ``y`` ancestor's parent is not
+    ``x`` but an outer ``y``'s is. Memoized on (element, chain position)."""
     chains = compile_css(selector) if isinstance(selector, str) else selector
+    # one structural pass: document order, parent links (wrapper excluded
+    # from ancestry), and container+index for sibling steps
+    order: list[ET.Element] = []
+    parent: dict[int, ET.Element | None] = {}
+    container: dict[int, ET.Element] = {}
+    sib_idx: dict[int, int] = {}
+
+    def prep(el: ET.Element) -> None:
+        is_wrapper = el.tag == "__root__"
+        for i, child in enumerate(el):
+            order.append(child)
+            parent[id(child)] = None if is_wrapper else el
+            container[id(child)] = el
+            sib_idx[id(child)] = i
+            prep(child)
+
+    prep(root)
+
     out: list[ET.Element] = []
-    seen: set[int] = set()
+    taken: set[int] = set()
+    for seq in chains:
+        memo: dict[tuple[int, int], bool] = {}
 
-    def chain_matches(el: ET.Element, ancestors: list[ET.Element], seq) -> bool:
-        if not _matches_compound(el, seq[-1][1]):
-            return False
-        # walk remaining compounds right-to-left up the ancestor list
-        idx = len(ancestors)  # exclusive upper bound for ancestor search
-        for pos in range(len(seq) - 2, -1, -1):
-            comb = seq[pos + 1][0]  # combinator BETWEEN seq[pos] and seq[pos+1]
-            tests = seq[pos][1]
+        def match_up(el: ET.Element, pos: int) -> bool:
+            key = (id(el), pos)
+            got = memo.get(key)
+            if got is not None:
+                return got
+            ok = _match_up_raw(el, pos)
+            memo[key] = ok
+            return ok
+
+        def _match_up_raw(el: ET.Element, pos: int) -> bool:
+            if not _matches_compound(el, seq[pos][1]):
+                return False
+            if pos == 0:
+                return True
+            comb = seq[pos][0]  # relates seq[pos] to seq[pos-1] on its left
             if comb == ">":
-                idx -= 1
-                if idx < 0 or not _matches_compound(ancestors[idx], tests):
-                    return False
-            else:  # descendant
-                while idx > 0:
-                    idx -= 1
-                    if _matches_compound(ancestors[idx], tests):
-                        break
-                else:
-                    return False
-        return True
+                par = parent.get(id(el))
+                return par is not None and match_up(par, pos - 1)
+            if comb == " ":
+                par = parent.get(id(el))
+                while par is not None:
+                    if match_up(par, pos - 1):
+                        return True
+                    par = parent.get(id(par))
+                return False
+            cont, i = container.get(id(el)), sib_idx.get(id(el), 0)
+            if cont is None:
+                return False
+            if comb == "+":
+                return i > 0 and match_up(cont[i - 1], pos - 1)
+            # '~': any preceding sibling
+            return any(match_up(cont[j], pos - 1) for j in range(i - 1, -1, -1))
 
-    def walk(el: ET.Element, ancestors: list[ET.Element]):
-        # the synthetic __root__ wrapper never joins the ancestor chain
-        child_anc = ancestors + [el] if el.tag != "__root__" else ancestors
-        for child in el:
-            for seq in chains:
-                if id(child) not in seen and chain_matches(child, child_anc, seq):
-                    seen.add(id(child))
-                    out.append(child)
-                    break
-            walk(child, child_anc)
-
-    walk(root, [])
+        for el in order:
+            if id(el) not in taken and match_up(el, len(seq) - 1):
+                taken.add(id(el))
+                out.append(el)
+    if len(chains) > 1:
+        pos_of = {id(el): i for i, el in enumerate(order)}
+        out.sort(key=lambda el: pos_of[id(el)])
     return out
 
 

@@ -54,6 +54,9 @@ CANDIDATES = StructType(
         StructField("depth", IntegerType()),
         StructField("method", StringType()),
         StructField("body", BinaryType()),
+        # NULL = "collector defaults" (colly.go:645-657); only seeds and
+        # retries ever carry a map — link children are always NULL
+        StructField("headers", MapType(StringType(), StringType())),
         StructField("ctx", MapType(StringType(), StringType())),
         StructField("parent_url", StringType()),
         StructField("parent_seq", LongType()),
@@ -120,6 +123,18 @@ class Crawler:
         self.store = StateStore(
             spark, STATE_SCHEMAS, checkpoint_dir,
             replace_tables=("pending", "candidates", "seen_filters"),
+            # url_seen as an LSM-shaped bucketed table: partitioned base
+            # (probe joins re-shuffle only the candidate side) + small
+            # recent-append tail (broadcast). Keys = (domain_hash,
+            # url_hash) — the same politeness-aligned bucketing as the
+            # Bloom sidecar, so filter partitions and seen buckets line up.
+            bucketed={
+                "url_seen": {
+                    "keys": ("domain_hash", "url_hash"),
+                    "partitions": cfg.shuffle_partitions,
+                    "merge_every": cfg.seen_merge_every,
+                }
+            },
         )
         self.bloom_m, self.bloom_k = bloomseen.bloom_params(
             cfg.seen_bloom_capacity_per_partition, cfg.seen_bloom_fpp
@@ -177,6 +192,14 @@ class Crawler:
                 ]
                 self._cookie_set_map = {r["url"]: r["set_cookie"] for r in setters}
                 self._cookie_dom_map = {r["url"]: r["domain"] for r in setters}
+        # E2 request headers: like cookies, one config/fixture probe decides
+        # whether the crawl pays ANY per-round header work (the merged-map
+        # column, the abort predicate, the require-header join column)
+        self._n_hdr_pages = 0
+        if "require_header" in pages.columns:
+            self._n_hdr_pages = pages.where(
+                F.col("require_header").isNotNull()
+            ).count()
         self.stats: list[RoundStats] = []
         self._pins: list[DataFrame] = []
 
@@ -258,6 +281,11 @@ class Crawler:
                 F.lit(1).alias("depth"),
                 F.coalesce("method", F.lit(GET)).alias("method"),
                 F.col("body"),
+                (
+                    F.col("headers").cast("map<string,string>")
+                    if "headers" in seeds.columns
+                    else F.lit(None).cast("map<string,string>")
+                ).alias("headers"),
                 F.coalesce(
                     F.col("ctx").cast("map<string,string>"),
                     F.create_map().cast("map<string,string>"),
@@ -273,7 +301,8 @@ class Crawler:
         rows = seeds
         data = [
             (
-                s["url"], 1, s.get("method", GET), s.get("body"), s.get("ctx") or {},
+                s["url"], 1, s.get("method", GET), s.get("body"),
+                s.get("headers"), s.get("ctx") or {},
                 None, -1, -1, int(s.get("seed_seq", i)), int(s.get("seed_seq", i)),
                 None, 0,
             )
@@ -368,15 +397,23 @@ class Crawler:
         else:
             sk = sk.withColumn("__robots_kind", F.lit(None).cast("string"))
 
-        # F5 seen: cross-round flag + intra-batch first-wins (window by hash)
-        seen_tbl = self.store.get("url_seen").select("url_hash").distinct()
-        seen_flag = seen_tbl.withColumn("__seen_prev", F.lit(True))
+        # F5 seen: cross-round flag + intra-batch first-wins (window by hash).
+        # url_seen appends are globally UNIQUE (first-mark invariant below),
+        # so the probe is a plain flag join — no distinct, no fanout — and
+        # the base side of the bucketed store joins without re-shuffling.
+        seen_base, seen_tail = self.store.get_parts("url_seen")
         # adaptive Bloom arming: below seen_bloom_min_seen cumulative
         # requests the exact anti-join beats filter maintenance (measured
         # 2x crawl wall at a 1M-page fixture with a fresh-URL workload), so
         # the Bloom machinery stays fully dormant until the seen set is
         # large enough to pay for itself
         use_bloom = cfg.seen_bloom_enabled and built >= cfg.seen_bloom_min_seen
+        if not use_bloom:
+            # any dormant round grows url_seen without filter updates, so a
+            # later activation (or a resume) must rebuild — without this
+            # reset a stale _bloom_ready from an earlier activation/resume
+            # would silently yield Bloom false negatives (missed dedup)
+            self._bloom_ready = False
         if use_bloom and not self._bloom_ready:
             # activation round (or resume where bloom was previously
             # dormant): one-time full rebuild from url_seen — filters must
@@ -413,17 +450,11 @@ class Crawler:
             # upstream (robots join + skinny projection)
             sk = sk.persist()
             self._pins.append(sk)
-            pos = (
-                sk.where(F.col("__maybe"))
-                .join(seen_flag, on="url_hash", how="left")
-                .withColumn("__seen_prev", F.coalesce("__seen_prev", F.lit(False)))
-            )
+            pos = seen_probe(sk.where(F.col("__maybe")), seen_base, seen_tail)
             neg = sk.where(~F.col("__maybe")).withColumn("__seen_prev", F.lit(False))
             sk = pos.unionByName(neg).drop("__maybe")
         else:
-            sk = sk.join(seen_flag, on="url_hash", how="left").withColumn(
-                "__seen_prev", F.coalesce("__seen_prev", F.lit(False))
-            )
+            sk = seen_probe(sk, seen_base, seen_tail)
         checkable = (
             F.lit(not cfg.allow_url_revisit)
             & ~F.coalesce(F.col("skip_seen_check"), F.lit(False))
@@ -465,8 +496,15 @@ class Crawler:
         # queue-full rows are NOT seen-marked: colly's ErrQueueFull fires in
         # AddRequest (queue/queue.go:234-236) before scrape's requestCheck
         # ever runs, so the URL never reaches the visited store — and for
-        # the same reason ErrQueueFull outranks AlreadyVisited below
-        marked = enqueued
+        # the same reason ErrQueueFull outranks AlreadyVisited below.
+        # FIRST-mark only: a hash is appended to url_seen iff it is not
+        # already in the table (~__seen_prev) and no earlier row of this
+        # batch marked it (__prior_marked == 0) — re-marks (retries with
+        # skip_seen_check, allow_url_revisit revisits) are set-semantics
+        # no-ops, so url_seen stays globally unique. That uniqueness is
+        # what lets every seen probe be a plain flag join (no distinct, no
+        # fanout) and keeps Bloom filter updates delta-only.
+        marked = enqueued & ~F.col("__seen_prev") & (F.col("__prior_marked") == 0)
         # requestCheck attribution order (colly.go:774-818)
         error_kind = (
             F.when(F.col("__url_bad"), "ErrURLParse")
@@ -552,7 +590,7 @@ class Crawler:
 
         accepted_df = c.where("__accepted").select(
             "url_raw", "canon_url", "domain", "path_query", "url_hash", "depth",
-            "method", "body", "ctx", "parent_url", "parent_seq", "sel_idx",
+            "method", "body", "headers", "ctx", "parent_url", "parent_seq", "sel_idx",
             "elem_idx", "link_idx",
             F.coalesce(F.col("skip_seen_check"), F.lit(False)).alias("skip_seen_check"),
             F.coalesce(F.col("retries"), F.lit(0)).alias("retries"),
@@ -634,6 +672,22 @@ class Crawler:
         # runs dispatch in IDENTICAL order — the determinism contract
         # test_fetch_cache locks in. Colly would let a hit bypass the
         # LimitRule slot, letting uncached same-domain requests run earlier.
+        # E2 request headers (colly.go:645-657 merge): the merged map is an
+        # EXPRESSION (_merged_headers_col), never a materialized column —
+        # the require-header compare sits behind a lazy AND on the page's
+        # require column, so the map machinery evaluates only for the rare
+        # rows that actually hit a header-gated page, and a crawl with no
+        # abort filters pays zero per-row header cost. The abort flag is
+        # computed before the cache split (cached rows keep the schema) but
+        # takes effect only on MISS rows (colly's cache returns before Do
+        # and its OnRequestHeaders hook).
+        if cfg.abort_request_header_filters:
+            dispatch = dispatch.withColumn(
+                "__hdr_abort", _req_hdr_abort_match(cfg)
+            )
+            hdr_flag = F.col("__hdr_abort")
+        else:
+            hdr_flag = F.lit(False)
         hit = None
         disp_cols = dispatch.columns
         if cfg.fetch_cache_enabled:
@@ -671,7 +725,34 @@ class Crawler:
         d = dispatch.join(rc, dispatch.canon_url == rc.src, "left").drop("src")
         d = d.withColumn("final_url", F.coalesce("final_url", F.col("canon_url")))
         d = d.withColumn("is_cycle", F.coalesce("is_cycle", F.lit(False)))
-        seen_now = self.store.get("url_seen").select("url_hash").distinct()
+        if cfg.abort_request_header_filters:
+            # header-aborted requests never reach Client.Do
+            # (http_backend.go:215-222): no redirect hops followed or
+            # seen-marked, no chain cookies, no response — only the
+            # politeness slot + delay are spent (the deferred sleep runs)
+            d = (
+                d.withColumn(
+                    "final_url",
+                    F.when(hdr_flag, F.col("canon_url")).otherwise(F.col("final_url")),
+                )
+                .withColumn(
+                    "hops",
+                    F.when(hdr_flag, F.lit(None).cast("array<string>"))
+                    .otherwise(F.col("hops")),
+                )
+                .withColumn(
+                    "is_cycle",
+                    F.when(hdr_flag, F.lit(False)).otherwise(F.col("is_cycle")),
+                )
+                .withColumn(
+                    "abort_kind",
+                    F.when(hdr_flag, F.lit(None).cast("string"))
+                    .otherwise(F.col("abort_kind")),
+                )
+            )
+        # hop conflict probe reads the store INCLUDING this round's staged
+        # candidate marks (get_parts sees the pending tail)
+        seen_base_now, seen_tail_now = self.store.get_parts("url_seen")
         hops = (
             d.select(
                 "fetch_seq", "abort_kind", F.size("hops").alias("n_hops"),
@@ -679,18 +760,28 @@ class Crawler:
             )
             .where(F.col("hop_url").isNotNull())
             .withColumn("hop_hash", F.xxhash64("hop_url", F.lit(b"")))
+            # same partition-key formula as the candidate side — hop hashes
+            # must land in the same seen bucket / Bloom partition as a later
+            # resubmission of the hop URL, or dedup false-negatives
+            .withColumn(
+                "__hop_dh",
+                F.pmod(
+                    F.xxhash64(self.url_parts_udf("hop_url").getField("domain")),
+                    F.lit(cfg.seen_bloom_partitions),
+                ).cast("int"),
+            )
         )
         whop = (
             Window.partitionBy("hop_hash")
             .orderBy("fetch_seq", "hop_idx")
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        hops = (
-            hops.join(seen_now.withColumn("__sp", F.lit(True)),
-                      hops.hop_hash == seen_now.url_hash, "left")
-            .drop("url_hash")
-            .withColumn("__conflict",
-                        F.coalesce("__sp", F.lit(False)) | (F.count(F.lit(1)).over(whop) > 0))
+        hops = seen_probe(
+            hops, seen_base_now, seen_tail_now,
+            hash_col="hop_hash", dh_col="__hop_dh", out_col="__sp",
+        )
+        hops = hops.withColumn(
+            "__conflict", F.col("__sp") | (F.count(F.lit(1)).over(whop) > 0)
         )
         aborts = (
             hops.where("__conflict")
@@ -702,13 +793,7 @@ class Crawler:
             .where(F.col("abort_idx").isNull() | (F.col("hop_idx") < F.col("abort_idx")))
             .select(
                 F.col("hop_hash").alias("url_hash"),
-                # same partition-key formula as the candidate side — hop
-                # hashes must land in the right Bloom partition or a later
-                # resubmission of the hop URL would false-negative
-                F.pmod(
-                    F.xxhash64(self.url_parts_udf("hop_url").getField("domain")),
-                    F.lit(cfg.seen_bloom_partitions),
-                ).cast("int").alias("domain_hash"),
+                F.col("__hop_dh").alias("domain_hash"),
                 F.lit(rnd).alias("round_added"),
             )
         )
@@ -743,6 +828,21 @@ class Crawler:
                 F.col("abort_kind")
             ),
         )
+        if cfg.abort_request_header_filters:
+            # ErrAbortedBeforeRequest is the actual sentinel Do returns for
+            # a header-stage abort (distinct from the OnRequest-stage
+            # "AbortedBeforeRequest" kind, which never dispatches at all);
+            # the null __effective_url keeps the page join from serving a
+            # response that was never requested
+            d = d.withColumn(
+                "__effective_url",
+                F.when(hdr_flag, F.lit(None).cast("string"))
+                .otherwise(F.col("__effective_url")),
+            ).withColumn(
+                "__abort_kind2",
+                F.when(hdr_flag, F.lit("ErrAbortedBeforeRequest"))
+                .otherwise(F.col("__abort_kind2")),
+            )
 
         # S4: salt+repartition the NARROW dispatch batch (a real fetcher
         # would run right here as a mapInPandas: urls in, bodies out), stamp
@@ -762,6 +862,10 @@ class Crawler:
             if self._n_cookie_pages
             else []
         )
+        if self._n_hdr_pages:
+            page_extra = page_extra + [
+                F.col("require_header").alias("page_require_hdr")
+            ]
         page_cols = self.pages.select(
             F.col("url").alias("__pu"),
             F.col("status").alias("page_status"),
@@ -774,6 +878,31 @@ class Crawler:
         d = d.join(
             page_cols, F.col("__effective_url") == F.col("__pu"), "left"
         ).drop("__pu")
+
+        if self._n_hdr_pages:
+            # require_header gate ("Name=value", split at the FIRST '='):
+            # the merged request headers must carry it or the page serves
+            # 403 — evaluated on real responses only (never on aborted
+            # chains, matching the simulator's page/abort guard)
+            _hname = F.substring_index("page_require_hdr", "=", 1)
+            _hwant = F.expr(
+                "substring(page_require_hdr, instr(page_require_hdr, '=') + 1)"
+            )
+            d = d.withColumn(
+                "__hdr_fail",
+                F.col("page_require_hdr").isNotNull()
+                & F.col("__abort_kind2").isNull()
+                & ~F.coalesce(
+                    F.element_at(_merged_headers_col(cfg), _hname) == _hwant,
+                    F.lit(False),
+                ),
+            )
+            d = d.withColumn(
+                "page_status",
+                F.when(F.col("__hdr_fail"), F.lit(403)).otherwise(
+                    F.col("page_status")
+                ),
+            )
 
         setters_chain = None
         if self._n_cookie_pages:
@@ -893,6 +1022,11 @@ class Crawler:
                 cookie_extra.append(
                     F.array().cast("array<string>").alias("__chain_hops")
                 )
+            if self._n_hdr_pages:
+                cookie_extra += [
+                    F.lit(None).cast("string").alias("page_require_hdr"),
+                    F.lit(False).alias("__hdr_fail"),
+                ]
             hit_shaped = hit.select(
                 *disp_cols,
                 *cookie_extra,
@@ -943,12 +1077,16 @@ class Crawler:
             & F.col("page_status").isNotNull()
             & ((status < 300) | F.lit(cfg.parse_http_error_response))
         )
-        # X4 CheckHead (colly.go:537-544): a failing HEAD (error status,
-        # missing page, aborted chain) suppresses the GET entirely — no GET
-        # visit, no parse (even under ParseHTTPErrorResponse: there is no
-        # GET response to parse)
+        # X4 CheckHead (colly.go:537-544): a failing HEAD (network error,
+        # missing page, aborted chain, or error status) suppresses the GET
+        # entirely. Under ParseHTTPErrorResponse an error STATUS does not
+        # fail the HEAD — handleOnError returns nil for any status then
+        # (colly.go:1320-1323), so Visit() proceeds to the GET and parses
+        # its response like any other.
         head_ok = (
-            F.col("page_status").isNotNull() & (status < 300) & ~aborted
+            F.col("page_status").isNotNull()
+            & ((status < 300) | F.lit(cfg.parse_http_error_response))
+            & ~aborted
         )
         if cfg.check_head:
             parse_ok = parse_ok & head_ok
@@ -1032,6 +1170,9 @@ class Crawler:
             final_set_ok = (
                 ~aborted & ~F.col("__cookie_fail") & F.col("page_set_cookie").isNotNull()
             )
+            if self._n_hdr_pages:
+                # a 403'd (header-gated) page does not set its cookie either
+                final_set_ok = final_set_ok & ~F.col("__hdr_fail")
             if self._cookie_set_map is not None:
                 # fast path: setter entries as per-row array expressions —
                 # one explode inside the cached frame, no unions/joins
@@ -1125,6 +1266,9 @@ class Crawler:
             (F.col("depth") + 1).alias("depth"),
             F.lit(GET).alias("method"),
             F.lit(None).cast("binary").alias("body"),
+            # Request.Visit passes hdr=nil (request.go:122-124): children
+            # always fall back to collector defaults
+            F.lit(None).cast("map<string,string>").alias("headers"),
             F.col("ctx").alias("ctx"),
             F.col("__effective_url").alias("parent_url"),
             F.col("fetch_seq").alias("parent_seq"),
@@ -1147,7 +1291,9 @@ class Crawler:
                 & (F.coalesce("retries", F.lit(0)) < F.lit(cfg.max_retries))
             ).select(
                 F.col("canon_url").alias("url_raw"),
-                "depth", "method", "body", "ctx", "parent_url",
+                # Retry keeps the request headers (request.go:157-163 only
+                # deletes the Cookie header, modeled separately by the jar)
+                "depth", "method", "body", "headers", "ctx", "parent_url",
                 F.col("fetch_seq").alias("parent_seq"),
                 F.lit(-2).alias("sel_idx"),
                 F.lit(0).alias("elem_idx"),
@@ -1321,6 +1467,74 @@ class Crawler:
         for df in self._pins:
             df.unpersist()
         self._pins = []
+        if final:
+            # every table is checkpointed now, so no live plan references a
+            # filter broadcast — destroy the last one too (the per-round
+            # sweep in _run_round always keeps one alive)
+            while self._bloom_bcs:
+                self._bloom_bcs.pop(0)[1].destroy()
+
+
+def seen_probe(
+    df: DataFrame,
+    base: DataFrame | None,
+    tail: DataFrame | None,
+    hash_col: str = "url_hash",
+    dh_col: str = "__dh",
+    out_col: str = "__seen_prev",
+) -> DataFrame:
+    """F5 cross-round membership flag against the bucketed url_seen store.
+
+    ``base`` is the big hash-partitioned snapshot: the join keys (domain
+    bucket, url_hash) match its preserved partitioning, so the plan
+    re-shuffles only ``df`` — never the base (asserted by
+    tests/test_statestore.py). ``tail`` is the recent-append delta, small
+    enough that the optimizer broadcast-joins it. url_seen rows are unique
+    (first-mark invariant in ``_run_round``), so these flag joins cannot
+    fan out. Either part may be None (empty)."""
+    flags = []
+    for part, flag in ((base, "__in_base"), (tail, "__in_tail")):
+        if part is None:
+            continue
+        side = part.select(
+            F.col("domain_hash").alias(dh_col),
+            F.col("url_hash").alias(hash_col),
+            F.lit(True).alias(flag),
+        )
+        df = df.join(side, on=[dh_col, hash_col], how="left")
+        flags.append(flag)
+    seen = F.lit(False)
+    for flag in flags:
+        seen = seen | F.coalesce(F.col(flag), F.lit(False))
+    return df.withColumn(out_col, seen).drop(*flags)
+
+
+def _merged_headers_col(cfg: CrawlConfig):
+    """Effective request headers (colly.go:645-657) as one map column: the
+    row's own ``headers`` map if present, else the collector defaults; the
+    User-Agent is added on top unless the map already carries one."""
+    pairs: list = []
+    for k, v in cfg.default_headers:
+        pairs += [F.lit(k), F.lit(v)]
+    default = (
+        F.create_map(*pairs) if pairs else F.create_map().cast("map<string,string>")
+    )
+    h = F.coalesce(F.col("headers"), default)
+    return F.when(F.map_contains_key(h, "User-Agent"), h).otherwise(
+        F.map_concat(h, F.create_map(F.lit("User-Agent"), F.lit(cfg.user_agent)))
+    )
+
+
+def _req_hdr_abort_match(cfg: CrawlConfig):
+    """OnRequestHeaders abort predicate (E2, http_backend.go:215-217): any
+    registered (header_name, value_regex) matching the merged headers."""
+    merged = _merged_headers_col(cfg)
+    out = F.lit(False)
+    for name, pat in cfg.abort_request_header_filters:
+        out = out | F.coalesce(
+            F.element_at(merged, F.lit(name)).rlike(pat), F.lit(False)
+        )
+    return out
 
 
 def _abort_match(cfg: CrawlConfig, canon_url):

@@ -161,6 +161,7 @@ def page_row(spec: SiteSpec, d: int, j: int) -> dict:
         "serve_delay_ms": spec.serve_delay_ms,
         "set_cookie": None,
         "require_cookie": None,
+        "require_header": None,
     }
 
 
@@ -183,6 +184,7 @@ def _special_rows(spec: SiteSpec, d: int) -> list[dict]:
             "serve_delay_ms": spec.serve_delay_ms,
             "set_cookie": None,
             "require_cookie": None,
+            "require_header": None,
         }
         r.update(kw)
         return r
@@ -224,6 +226,12 @@ def _special_rows(spec: SiteSpec, d: int) -> list[dict]:
         row("/cookie/set", set_cookie="tok=a",
             links=["/cookie/need"], body=_html_body(["/cookie/need"], [], None)),
         row("/cookie/need", require_cookie="tok=a"),
+        # E2 request headers: 403 unless the request carries the header
+        # (merged per colly.go:645-657) — auth-token crawls in miniature.
+        # Not linked from any page: only crawls that seed it meet it.
+        row("/auth/need", require_header="x-token=s3cr3t",
+            links=["/auth/inner"], body=_html_body(["/auth/inner"], [], None)),
+        row("/auth/inner"),
     ]
     # deep chain for MaxDepth (colly_test.go:1754-1796)
     for i in range(1, spec.deep_chain_len + 1):
@@ -292,9 +300,13 @@ def build_site(
     return site
 
 
-def make_seeds(urls: list[str], method: str = "GET") -> list[dict]:
+def make_seeds(urls: list[str], method: str = "GET",
+               headers: dict | None = None) -> list[dict]:
+    """Seed dicts; ``headers`` (optional) rides on every seed — the queue
+    AddRequest / UnmarshalRequest path that preserves Request.Headers."""
     return [
-        {"seed_seq": i, "url": u, "method": method, "body": None, "ctx": {}}
+        {"seed_seq": i, "url": u, "method": method, "body": None,
+         "headers": headers, "ctx": {}}
         for i, u in enumerate(urls)
     ]
 
@@ -328,7 +340,7 @@ def _page_tuple(p: dict):
         p["url"], p["domain"], p["status"], p["content_type"], p["body"],
         p["redirect_to"], p["links"], p["base_href"], p["image_refs"],
         p["gzip_body"], p["serve_delay_ms"],
-        p.get("set_cookie"), p.get("require_cookie"),
+        p.get("set_cookie"), p.get("require_cookie"), p.get("require_header"),
     )
 
 

@@ -50,20 +50,28 @@ def minhash_signature(docs: DataFrame, text_col: str = "text",
     projection over the shingle array column.
     """
     # the shingle array is materialized in its OWN projection: inlining it
-    # into all num_hashes lanes would re-tokenize the document per lane
+    # into the signature fold would re-tokenize the document per reference
     # (measured: interpreted concat_ws/slice eval x32 — minutes per
     # partition at sf0.1). CollapseProject keeps expensive aliases with
     # multiple references in a separate project, so __sh computes once.
     shingled = docs.select("doc_id", shingles(F.col(text_col), k).alias("__sh"))
-
-    def _minhash(i: int):
-        # helper closure, NOT a defaulted second lambda param: pyspark
-        # dispatches higher-order lambdas on arity, so ``lambda s, i=i``
-        # would bind i to the array-index variable — collapsing all
-        # num_hashes "permutations" into one identical function
-        return F.array_min(F.transform("__sh", lambda s: F.xxhash64(F.lit(i), s)))
-
-    sig = F.array(*[_minhash(i) for i in range(num_hashes)])
+    # SINGLE-PASS fold: one aggregate walks the shingle array once, keeping
+    # a num_hashes-wide running minimum (the per-lane form — num_hashes
+    # separate array_min(transform(...)) lanes — traverses the array
+    # num_hashes times; the same shape cost q_simhash 2x, VERDICT r2).
+    # Values are bit-identical to the per-lane form: lane i's hash is
+    # xxhash64(i, shingle) either way (the sequence() elements are the same
+    # int32 the old F.lit(i) was), which the golden-parquet oracle pins.
+    lanes = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.aggregate(
+        "__sh",
+        F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(lanes, lambda i: F.xxhash64(i, s)),
+            lambda a, b: F.least(a, b),
+        ),
+    )
     return shingled.select("doc_id", sig.alias("sig"))
 
 
@@ -94,7 +102,12 @@ def minhash_lsh_pairs(
       big are exact_dedup's job, not LSH's.
     """
     r = num_hashes // bands
-    sigs = minhash_signature(docs, text_col, num_hashes, k).persist()
+    # eager localCheckpoint, not persist: the signature frame is read by the
+    # banding pass AND the pair join-back, but a persist() here could never
+    # be unpersisted (the caller only sees the final pairs frame) and leaked
+    # cached blocks across calls in a long session; checkpoint blocks are
+    # released when the frame is garbage-collected
+    sigs = minhash_signature(docs, text_col, num_hashes, k).localCheckpoint(eager=True)
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -172,10 +185,12 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     tokens = distinct whitespace words of lower(text); per token one
     ``xxhash64``; bit i of the signature is set when at least half the
-    token hashes have bit i set (majority vote). The token-hash array is
-    materialized in its OWN projection so the 64 per-bit aggregates scan a
-    computed array column — inlined, each aggregate would re-tokenize and
-    re-hash the document (a 64x blowup of interpreted string work)."""
+    token hashes have bit i set (majority vote). SINGLE-PASS: one
+    ``F.aggregate`` folds the token-hash array into a 64-element bit-count
+    array (the earlier form ran 64 separate aggregates — 64 full
+    traversals of the hash array per document, measured 2x slower at
+    sf0.1); the final signature then reads each count once via
+    ``element_at`` (O(1) lookups on the materialized array)."""
     toks = F.array_distinct(
         F.filter(
             F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
@@ -185,23 +200,23 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     hashed = docs.select(
         "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("__hs")
     )
-    n = F.size("__hs")
-
-    def _bit_sum(i: int):
-        # helper closure: pyspark dispatches on lambda arity, so the bit
-        # index can't ride as a defaulted extra lambda parameter
-        return F.aggregate(
-            "__hs",
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)),
-        )
-
+    # SQL form: the Python shiftrightunsigned wrapper only accepts a literal
+    # int shift, but the bit position here is the transform's lambda variable
+    counts = F.expr(
+        "aggregate(__hs, array_repeat(0L, 64),"
+        " (acc, h) -> zip_with(acc,"
+        "   transform(sequence(0, 63), i -> shiftrightunsigned(h, i) & 1L),"
+        "   (a, b) -> a + b))"
+    )
+    counted = hashed.select(
+        "doc_id", F.size("__hs").cast("long").alias("__n"), counts.alias("__c")
+    )
     sim = F.lit(0).cast("long")
     for i in range(64):
-        bit = (_bit_sum(i) * 2 >= n.cast("long")).cast("long")
+        bit = (F.element_at("__c", i + 1) * 2 >= F.col("__n")).cast("long")
         sim = sim + F.shiftleft(bit, i)
-    sim = F.when(n > 0, sim).otherwise(F.lit(0).cast("long"))
-    return hashed.select("doc_id", sim.alias("simhash"))
+    sim = F.when(F.col("__n") > 0, sim).otherwise(F.lit(0).cast("long"))
+    return counted.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_neardup_pairs(
@@ -219,7 +234,9 @@ def simhash_neardup_pairs(
     mega-bucket cap as MinHash-LSH."""
     width = 64 // bands
     mask = (1 << width) - 1
-    sigs = simhash64(docs, text_col).persist()
+    # eager localCheckpoint (not persist) — same no-leak rationale as
+    # minhash_lsh_pairs above
+    sigs = simhash64(docs, text_col).localCheckpoint(eager=True)
     banded = sigs.select(
         "doc_id",
         F.explode(

@@ -76,25 +76,35 @@ RESIZE_SCHEMA = StructType(
         StructField("w", IntegerType()),
         StructField("h", IntegerType()),
         StructField("fmt", StringType()),
+        StructField("decode_ok", BooleanType()),
     ]
 )
 
 
 def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """Nearest-neighbor resize re-encoded lossless; numpy-vectorized per image."""
+    """Nearest-neighbor resize re-encoded lossless; numpy-vectorized per
+    image. Undecodable payloads are NOT silently dropped: they come back
+    with ``decode_ok=false`` and NULL bytes, so a 100-TB pipeline can count
+    and quarantine them instead of losing rows."""
 
     def gen(batches):
         for pdf in batches:
             rows = []
             for iid, data in zip(pdf["image_id"], pdf["bytes"]):
-                arr = imagecodec.decode(data)
+                try:
+                    arr = imagecodec.decode(data)
+                except NotImplementedError:  # unknown/unsupported codec
+                    arr = None
                 if arr is None:
+                    rows.append((iid, None, out_w, out_h, None, False))
                     continue
                 h, w, _ = arr.shape
                 yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
                 xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
                 small = arr[yi][:, xi]
-                rows.append((iid, imagecodec.encode(small, "png"), out_w, out_h, "png"))
+                rows.append(
+                    (iid, imagecodec.encode(small, "png"), out_w, out_h, "png", True)
+                )
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
 
     return images.mapInPandas(gen, schema=RESIZE_SCHEMA)

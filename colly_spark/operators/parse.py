@@ -386,16 +386,21 @@ def extract_one(
             html_tree = dom.parse_html(text)
         except Exception:
             html_tree = None
-    if html_tree is not None:
-        # <base href> itself may be relative to the document URL
-        base = base_href_col
-        if base is None:
-            bases = dom.css_select(html_tree, "base[href]")
-            base = bases[0].get("href") if bases else None
-        if base and page_url:
-            base = absolutize(page_url, base) or page_url
-        base = base or page_url
+    # <base href> itself may be relative to the document URL; the resolved
+    # base applies to the built-in a[href] extractor AND to general
+    # 'follow' extractors alike (colly resolves Request.AbsoluteURL against
+    # resp.Request.baseURL for every callback, colly.go:1209-1218). For
+    # XML-mode documents (no HTML tree) there is no <base>; the column /
+    # page URL fallback applies.
+    base = base_href_col
+    if base is None and html_tree is not None:
+        bases = dom.css_select(html_tree, "base[href]")
+        base = bases[0].get("href") if bases else None
+    if base and page_url:
+        base = absolutize(page_url, base) or page_url
+    base = base or page_url
 
+    if html_tree is not None:
         if follow_links:
             i = 0
             for a in dom.css_select(html_tree, "a[href]"):
@@ -432,10 +437,24 @@ def extract_one(
             matches = _select(tree, spec, cache)
         except dom.CssSelectorError:
             raise
+        if spec.break_selector and not spec.xpath:
+            # ForEachWithBreak (htmlelement.go:119-131): stop at the first
+            # match that also matches the break selector — it and all later
+            # matches are not emitted
+            key = ("__break__", spec.break_selector)
+            if key not in cache:
+                cache[key] = dom.compile_css(spec.break_selector)
+            stop_ids = {id(e) for e in dom.css_select(tree, cache[key])}
+            kept = []
+            for el in matches:
+                if id(el) in stop_ids:
+                    break
+                kept.append(el)
+            matches = kept
         for i, el in enumerate(matches):
             if spec.action == "follow":
                 href = el.get(spec.attr or "href")
-                absu = absolutize(base_href_col or page_url, href) if href else None
+                absu = absolutize(base, href) if href else None
                 if absu is None:
                     continue
                 out.append((sel_idx, i, "link", absu, None, None, None, None, None))

@@ -45,6 +45,11 @@ FRONTIER = _s(
     StructField("depth", IntegerType()),
     StructField("method", StringType()),
     StructField("body", BinaryType()),
+    # request headers as data (colly Request.Headers, request.go:30): NULL
+    # means "collector defaults" (colly.go:645-657 merges defaults only
+    # when the request carries none); link-extracted children are always
+    # NULL (Request.Visit passes hdr=nil), seeds may carry custom maps
+    StructField("headers", MapType(StringType(), StringType())),
     StructField("ctx", MapType(StringType(), StringType())),
     StructField("parent_url", StringType()),
     StructField("parent_seq", LongType()),
@@ -164,6 +169,10 @@ PAGES = _s(
     # a response may set a cookie; a page may demand one (else 403)
     StructField("set_cookie", StringType()),
     StructField("require_cookie", StringType()),
+    # E2 request-header scenario: "Name=value" the request must carry
+    # (merged per colly.go:645-657) or the page serves 403 — the synthetic
+    # stand-in for auth-token / accept-language gated content
+    StructField("require_header", StringType()),
 )
 
 # U3 cookie jar (storage/storage.go:100-128): host-keyed; committed per
@@ -196,6 +205,7 @@ SEEDS = _s(
     StructField("url", StringType()),
     StructField("method", StringType()),
     StructField("body", BinaryType()),
+    StructField("headers", MapType(StringType(), StringType())),
     StructField("ctx", MapType(StringType(), StringType())),
 )
 

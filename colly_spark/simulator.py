@@ -32,6 +32,21 @@ def _compiled_header_aborts(cfg: CrawlConfig):
     return [_re.compile(p) for p in cfg.abort_response_header_filters]
 
 
+def _compiled_request_header_aborts(cfg: CrawlConfig):
+    import re as _re
+
+    return [(name, _re.compile(p)) for name, p in cfg.abort_request_header_filters]
+
+
+def merged_headers(cand_headers: dict | None, cfg: CrawlConfig) -> dict:
+    """colly.go:645-657: a request with no headers of its own gets the
+    collector defaults; User-Agent set on top unless already present."""
+    hdr = dict(cand_headers) if cand_headers else dict(cfg.default_headers)
+    if "User-Agent" not in hdr:
+        hdr["User-Agent"] = cfg.user_agent
+    return hdr
+
+
 def check_static_filters(canon: str, domain: str, cfg: CrawlConfig) -> str | None:
     """F3a/b/c/d filters in reference order; also re-applied per redirect hop
     (colly.go:1463-1465). Returns error kind or None."""
@@ -147,6 +162,49 @@ def simulate(site: Site, seeds: list[dict], cfg: CrawlConfig, max_rounds: int | 
         aborted_kind = None
         chain_cookies: set[str] = set()  # set by this chain's responders
 
+        # politeness delay model (hoisted: it applies even to requests
+        # aborted at the header stage — the LimitRule slot is taken and the
+        # deferred sleep in Do runs regardless, http_backend.go:202-217)
+        rule_idx = match_rule_idx(cand["domain"], cfg.limit_rules)
+        rule = cfg.limit_rules[rule_idx] if rule_idx >= 0 else None
+        delay = rule.delay_ms if rule else 0
+        # seeded RandomDelay stand-in, SAME formula as the engine
+        # (operators/fetch.py fetch_ms_col): pmod(xxhash64(seed, url_hash),
+        # random_delay) — http_backend.go:210-213's rand term made
+        # deterministic and partition-independent
+        if rule and rule.random_delay_ms:
+            delay += xxh.random_delay_ms(
+                xxh.request_hash(cand["canon_url"], cand["body"]),
+                cfg.seed, rule.random_delay_ms,
+            )
+
+        # E2 OnRequestHeaders abort (http_backend.go:215-217): evaluated on
+        # the MERGED headers after the rule slot, before the request is
+        # sent — no response, no redirect hops, no cookies, status 0
+        hdr = merged_headers(cand.get("headers"), cfg)
+        if any(
+            name in hdr and pat.search(hdr[name])
+            for name, pat in _compiled_request_header_aborts(cfg)
+        ):
+            visit = {
+                "fetch_seq": fetch_seq, "enqueue_seq": cand["enqueue_seq"],
+                "url": cand["canon_url"], "final_url": cur,
+                "domain": cand["domain"], "depth": cand["depth"],
+                "status": 0, "fetch_ms": delay,
+                "proxy": (cfg.proxies[fetch_seq % len(cfg.proxies)]
+                          if cfg.proxies else None),
+                "round": rnd,
+            }
+            if cfg.check_head:
+                res.visits.append(dict(visit, fetch_seq=2 * slot))  # the HEAD
+                # the aborted HEAD errors -> GET never issued
+            else:
+                res.visits.append(visit)
+            res.errors.append(_err(cand["enqueue_seq"], cand["canon_url"],
+                                   cand["depth"], "ErrAbortedBeforeRequest",
+                                   rnd, 0))
+            return
+
         def register(p: dict) -> None:
             # a redirect response was received from p: its cookie enters
             # both the live chain (available to later hops of THIS request)
@@ -188,25 +246,20 @@ def simulate(site: Site, seeds: list[dict], cfg: CrawlConfig, max_rounds: int | 
             cur = nxt
 
         # U3 require check on the FINAL page only: the jar (previous
-        # rounds) plus cookies set within this chain; failure serves 403
+        # rounds) plus cookies set within this chain; failure serves 403.
+        # require_header likewise: the merged request headers must carry
+        # the demanded "Name=value" (auth-token pages)
         cookie_fail = False
         if page is not None and aborted_kind is None:
             req = page.get("require_cookie")
             if req is not None and req not in (jar.get(page["domain"], set()) | chain_cookies):
                 cookie_fail = True
+            hreq = page.get("require_header")
+            if hreq is not None:
+                name, _, want = hreq.partition("=")
+                if hdr.get(name) != want:
+                    cookie_fail = True
 
-        rule_idx = match_rule_idx(cand["domain"], cfg.limit_rules)
-        rule = cfg.limit_rules[rule_idx] if rule_idx >= 0 else None
-        delay = rule.delay_ms if rule else 0
-        # seeded RandomDelay stand-in, SAME formula as the engine
-        # (operators/fetch.py fetch_ms_col): pmod(xxhash64(seed, url_hash),
-        # random_delay) — http_backend.go:210-213's rand term made
-        # deterministic and partition-independent
-        if rule and rule.random_delay_ms:
-            delay += xxh.random_delay_ms(
-                xxh.request_hash(cand["canon_url"], cand["body"]),
-                cfg.seed, rule.random_delay_ms,
-            )
         if page is None:
             status = 0
             fetch_ms = delay
@@ -241,7 +294,14 @@ def simulate(site: Site, seeds: list[dict], cfg: CrawlConfig, max_rounds: int | 
         head_ok = True
         if cfg.check_head:
             res.visits.append(_visit(2 * slot))  # the HEAD precheck
-            head_ok = page is not None and aborted_kind is None and status < 300
+            # an error STATUS only fails the HEAD when ParseHTTPErrorResponse
+            # is off — handleOnError returns nil for any status under it
+            # (colly.go:1320-1323), so Visit() still issues the GET
+            head_ok = (
+                page is not None
+                and aborted_kind is None
+                and (status < 300 or cfg.parse_http_error_response)
+            )
         if head_ok:
             res.visits.append(_visit(fetch_seq))
         # final page's set_cookie registers require-gated (a 403'd page
@@ -266,6 +326,10 @@ def simulate(site: Site, seeds: list[dict], cfg: CrawlConfig, max_rounds: int | 
                         "depth": cand["depth"],
                         "method": cand["method"],
                         "body": cand["body"],
+                        # Retry keeps the request's headers (request.go:157-163
+                        # only deletes the Cookie header, which the jar models
+                        # separately)
+                        "headers": cand.get("headers"),
                         "ctx": cand.get("ctx") or {},
                         "parent_seq": fetch_seq,
                         "sel_idx": -2,
@@ -287,9 +351,10 @@ def simulate(site: Site, seeds: list[dict], cfg: CrawlConfig, max_rounds: int | 
         if status >= 300:
             res.errors.append(_err(cand["enqueue_seq"], cand["canon_url"], cand["depth"], f"HTTPError{status}", rnd, status))
             _maybe_retry()
-            # under CheckHead a failing HEAD means the GET never happened —
-            # there is no response to parse, ParseHTTPErrorResponse or not
-            if not cfg.parse_http_error_response or cfg.check_head:
+            # without ParseHTTPErrorResponse there is nothing to parse; with
+            # it the GET happened (head_ok above passes error statuses under
+            # it) and its response parses like any other
+            if not cfg.parse_http_error_response:
                 return
         if not _is_html(page):
             return
@@ -333,6 +398,7 @@ def simulate(site: Site, seeds: list[dict], cfg: CrawlConfig, max_rounds: int | 
             "depth": 1,  # root Visit depth=1 (colly.go:543)
             "method": s.get("method", GET),
             "body": s.get("body"),
+            "headers": s.get("headers"),
             "ctx": s.get("ctx") or {},
             "parent_seq": -1,
             "sel_idx": -1,

@@ -39,6 +39,7 @@ class StateStore:
         schemas: dict,
         checkpoint_dir: str | None = None,
         replace_tables: tuple[str, ...] = (),
+        bucketed: dict[str, dict] | None = None,
     ):
         self.spark = spark
         self.schemas = schemas
@@ -49,6 +50,24 @@ class StateStore:
         self.counters: dict[str, int] = {}
         self._stage_seq: dict[tuple[str, int], int] = {}
         self._pending_delete: list[str] = []  # retired by compact_rewrite
+        # Bucketed (LSM-shaped) tables — the 10^10-row url_seen design:
+        # a big BASE frame kept hash-partitioned + sorted on its bucket keys
+        # (checkpointed with partitioning preserved, so per-round probe
+        # joins never re-shuffle or re-sort the base side) plus a small
+        # TAIL of recent appends (broadcast-joined by the probe). Appends
+        # only ever checkpoint the delta; every ``merge_every`` compactions
+        # the tail folds into the base with one full repartition — the
+        # in-memory analog of Iceberg bucket compaction, amortizing the
+        # full-table shuffle to 1/merge_every per round instead of paying
+        # a full distinct + shuffle + rewrite every round.
+        # bucketed[name] = {"keys": (...), "partitions": int, "merge_every": int}
+        # Memory mode only: disk mode (the Iceberg stand-in) keeps plain
+        # round-dir appends — real Iceberg gets this via bucket partitioning.
+        self.bucketed = {} if checkpoint_dir else dict(bucketed or {})
+        self._base: dict[str, DataFrame | None] = {n: None for n in self.bucketed}
+        self._tail: dict[str, list[DataFrame]] = {n: [] for n in self.bucketed}
+        self._tail_pending: dict[str, list[DataFrame]] = {n: [] for n in self.bucketed}
+        self._since_merge: dict[str, int] = {n: 0 for n in self.bucketed}
         if self.dir:
             os.makedirs(self.dir, exist_ok=True)
             self._load_manifest()
@@ -103,15 +122,69 @@ class StateStore:
     # ---------------- table ops ----------------
 
     def get(self, name: str) -> DataFrame:
+        if name in self.bucketed:
+            frames = (
+                ([self._base[name]] if self._base[name] is not None else [])
+                + self._tail[name]
+                + self._tail_pending[name]
+            )
+            if not frames:
+                return self.spark.createDataFrame([], schema=self.schemas[name])
+            out = frames[0]
+            for f in frames[1:]:
+                out = out.unionByName(f)
+            return out
         if name not in self.tables:
             self.tables[name] = self.spark.createDataFrame([], schema=self.schemas[name])
         return self.tables[name]
+
+    def get_parts(self, name: str) -> tuple[DataFrame | None, DataFrame | None]:
+        """(base, tail) of a bucketed table for the probe-join path.
+
+        ``base`` is hash-partitioned + sorted on the bucket keys with that
+        layout *preserved through its checkpoint*, so a join on those keys
+        plans with NO exchange and NO sort on the base side — only the probe
+        rows shuffle. ``tail`` is the recent-append delta (small; the
+        optimizer broadcast-joins it). Either may be None (empty). For
+        non-bucketed tables (and disk mode): (full table, None)."""
+        if name not in self.bucketed:
+            return self.get(name), None
+        tail_frames = self._tail[name] + self._tail_pending[name]
+        tail = None
+        if tail_frames:
+            tail = tail_frames[0]
+            for f in tail_frames[1:]:
+                tail = tail.unionByName(f)
+        return self._base[name], tail
+
+    def _ckpt_partitioned(self, df: DataFrame, keys: tuple, parts: int) -> DataFrame:
+        """repartition+sort+localCheckpoint with partitioning/ordering kept.
+
+        AQE is toggled off around the checkpoint: under AQE the captured
+        LogicalRDD reports UnknownPartitioning (the adaptive plan's output
+        partitioning isn't final at capture time) and every later join
+        would re-shuffle the base — verified by
+        tests/test_statestore.py::test_base_join_has_no_base_exchange."""
+        conf = self.spark.conf
+        old = conf.get("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return (
+                df.repartition(parts, *keys)
+                .sortWithinPartitions(*keys)
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            conf.set("spark.sql.adaptive.enabled", old)
 
     def stage_append(self, name: str, df: DataFrame, round_no: int) -> None:
         """Write (disk) / union (memory) this round's rows for ``name``.
         Not visible to a resumed run until :meth:`commit_round`."""
         cols = [f.name for f in self.schemas[name].fields]
         df = df.select(*cols)
+        if name in self.bucketed:
+            self._tail_pending[name].append(df)
+            return
         if self.dir:
             # a round may stage several appends to one table (e.g. url_seen:
             # submission marks then redirect-hop marks). Each gets its own
@@ -138,10 +211,35 @@ class StateStore:
             self.tables[name] = df
 
     def compact(self, names: list[str]) -> None:
-        """Truncate Catalyst lineage of iterative tables (memory mode)."""
+        """Truncate Catalyst lineage of iterative tables (memory mode).
+
+        Bucketed tables compact incrementally: only the round's DELTA is
+        checkpointed (O(appends), not O(table)); every ``merge_every``
+        compactions the accumulated tail folds into the partitioned base
+        with one full shuffle — amortized Iceberg-style bucket compaction."""
         if self.dir:
             return
         for name in names:
+            if name in self.bucketed:
+                spec = self.bucketed[name]
+                if self._tail_pending[name]:
+                    delta = self._tail_pending[name][0]
+                    for f in self._tail_pending[name][1:]:
+                        delta = delta.unionByName(f)
+                    self._tail[name].append(delta.localCheckpoint(eager=True))
+                    self._tail_pending[name] = []
+                self._since_merge[name] += 1
+                if self._since_merge[name] >= spec["merge_every"] and self._tail[name]:
+                    full = self._tail[name][0] if self._base[name] is None else self._base[name]
+                    start = 1 if self._base[name] is None else 0
+                    for f in self._tail[name][start:]:
+                        full = full.unionByName(f)
+                    self._base[name] = self._ckpt_partitioned(
+                        full, spec["keys"], spec["partitions"]
+                    )
+                    self._tail[name] = []
+                    self._since_merge[name] = 0
+                continue
             if name in self.tables:
                 self.tables[name] = self.tables[name].localCheckpoint(eager=True)
 

@@ -109,7 +109,7 @@ def _one_page_tabs(spark, url, domain, content_type, body):
 
     pages = spark.createDataFrame(
         [(url, domain, 200, content_type, body, None, [], None, [], False, 0,
-          None, None)],
+          None, None, None)],
         schema=schemas.PAGES,
     )
     images = spark.createDataFrame([], schema=schemas.IMAGES)

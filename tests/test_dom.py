@@ -97,7 +97,53 @@ def test_css_unsupported_raises():
     with pytest.raises(dom.CssSelectorError):
         dom.compile_css("p:nth-child(2)")
     with pytest.raises(dom.CssSelectorError):
-        dom.compile_css("a ~ b")
+        dom.compile_css("a >")  # dangling combinator
+    with pytest.raises(dom.CssSelectorError):
+        dom.compile_css("+ b")
+
+
+SIBS = """
+<article>
+  <figure><img src="i1"><figcaption>cap1</figcaption><p>note</p></figure>
+  <figure><p>lead</p><img src="i2"><span>gap</span><figcaption>cap2</figcaption></figure>
+  <figcaption>stray</figcaption>
+  <h2>t</h2><p>after-h2</p><em>e</em><p>late</p>
+</article>
+"""
+
+
+def test_css_sibling_combinators():
+    tree = dom.parse_html(SIBS)
+    # adjacent: figcaption immediately after img (the flagship extraction shape)
+    caps = dom.css_select(tree, "figure > img + figcaption")
+    assert [dom.text_content(e) for e in caps] == ["cap1"]
+    # general sibling: any figcaption after an img within the figure
+    caps2 = dom.css_select(tree, "figure > img ~ figcaption")
+    assert [dom.text_content(e) for e in caps2] == ["cap1", "cap2"]
+    # adjacent after a heading
+    assert [dom.text_content(e) for e in dom.css_select(tree, "h2 + p")] == ["after-h2"]
+    # general sibling collects both following p's, in document order
+    assert [dom.text_content(e) for e in dom.css_select(tree, "h2 ~ p")] == [
+        "after-h2", "late",
+    ]
+    # '~' inside an attribute bracket is NOT a combinator
+    assert dom.compile_css('[class~="z"]')[0][0][1] == [("attr", "class", "~=", "z")]
+
+
+def test_css_descendant_backtracking():
+    # nearest y ancestor's parent is NOT x, but an outer y's parent is —
+    # a greedy nearest-ancestor matcher falsely rejects this (goquery doesn't)
+    tree = dom.parse_html(
+        '<x><y id="outer"><div><y id="inner"><z>hit</z></y></div></y></x>'
+    )
+    assert [dom.text_content(e) for e in dom.css_select(tree, "x > y z")] == ["hit"]
+    # sibling backtracking: 'a ~ b c' where only the FARTHER preceding b
+    # qualifies via its own left context
+    tree2 = dom.parse_html(
+        "<div><a>1</a><b><c>first</c></b><p>pad</p><b><c>second</c></b></div>"
+    )
+    got = [dom.text_content(e) for e in dom.css_select(tree2, "a ~ b c")]
+    assert got == ["first", "second"]
 
 
 def test_lenient_html_unclosed_tags():

@@ -275,6 +275,73 @@ def test_check_head_parity(spark, tabs):
     assert counts["http://d00.test/e404"] == 1    # HEAD only, GET skipped
 
 
+def test_check_head_parse_http_error_parity(spark, tabs):
+    """X4 x E1 interaction (colly.go:1320-1323): under ParseHTTPErrorResponse
+    handleOnError returns nil for error statuses, so the HEAD "succeeds" and
+    Visit() still issues (and parses) the GET — previously both sides
+    suppressed the GET unconditionally (ADVICE r2)."""
+    cfg = CrawlConfig(max_depth=1, check_head=True, parse_http_error_response=True,
+                      shuffle_partitions=8)
+    seeds = make_seeds(["http://d00.test/page/0", "http://d00.test/e404"])
+    out, sim, _ = run_compare(spark, tabs, seeds, cfg, max_rounds=2)
+    counts = Counter(v["url"] for v in sim.visits)
+    assert counts["http://d00.test/page/0"] == 2  # HEAD + GET
+    # the error status no longer fails the HEAD: GET happens too
+    assert counts["http://d00.test/e404"] == 2
+
+
+def test_max_url_length_parity(spark, tabs):
+    """F3d (extensions/url_length_filter.go:8-14): canonical URLs longer
+    than the limit reject with ErrURLTooLong — checked before the regex
+    filters, on both engine and simulator (previously untested)."""
+    cfg = CrawlConfig(max_depth=3, max_url_length=26, shuffle_partitions=8)
+    out, sim, _ = run_compare(
+        spark, tabs, make_seeds(["http://d00.test/page/0"]), cfg)
+    kinds = Counter(e["error_kind"] for e in sim.errors)
+    assert kinds.get("ErrURLTooLong", 0) > 0, (
+        "fixture produced no overlong URL; pick a smaller max_url_length"
+    )
+    assert any(len(v["url"]) <= 26 for v in sim.visits)
+
+
+def test_request_headers_parity(spark, tabs):
+    """E2 request headers as data (colly.go:645-657 merge;
+    http_backend.go:215-217 OnRequestHeaders abort). Three behaviors in one
+    crawl, engine == simulator:
+    - a seed carrying the auth header gets /auth/need at 200 (and its link
+      is followed); default-header requests (children, other seeds) 403;
+    - an abort filter on a custom header kills matching requests after
+      dispatch (token spent, ErrAbortedBeforeRequest, no response);
+    - children fall back to collector defaults (hdr=nil in Request.Visit)."""
+    cfg = CrawlConfig(
+        max_depth=2,
+        default_headers=(("x-flag", "plain"),),
+        abort_request_header_filters=(("x-kill", "^yes$"),),
+        shuffle_partitions=8,
+    )
+    seeds = (
+        make_seeds(["http://d00.test/auth/need"], headers={"x-token": "s3cr3t"})
+        + [
+            {"seed_seq": 1, "url": "http://d00.test/auth/need", "method": "GET",
+             "body": None, "headers": None, "ctx": {}},
+            {"seed_seq": 2, "url": "http://d00.test/page/0", "method": "GET",
+             "body": None, "headers": {"x-kill": "yes"}, "ctx": {}},
+            {"seed_seq": 3, "url": "http://d00.test/redirect/0", "method": "GET",
+             "body": None, "headers": {"x-kill": "yes"}, "ctx": {}},
+        ]
+    )
+    out, sim, _ = run_compare(spark, tabs, seeds, cfg, max_rounds=3)
+    by_url = {v["url"]: v for v in sim.visits}
+    assert by_url["http://d00.test/auth/need"]["status"] == 200  # authed seed wins (first-wins dedup)
+    kinds = Counter(e["error_kind"] for e in sim.errors)
+    assert kinds["ErrAbortedBeforeRequest"] == 2  # both x-kill seeds
+    # the aborted redirect source never followed/marked its hops: the
+    # redirect target is absent from url_seen
+    assert "http://d00.test/redirect/1" not in sim.url_seen
+    # authed page's child link was followed with DEFAULT headers
+    assert "http://d00.test/auth/inner" in {v["url"] for v in sim.visits}
+
+
 def test_checkpoint_resume_equals_uninterrupted(spark, tabs, tmp_path):
     cfg = CrawlConfig(max_depth=3, shuffle_partitions=8)
     seeds = make_seeds(["http://d00.test/page/0"])

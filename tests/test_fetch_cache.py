@@ -18,11 +18,11 @@ def two_page_cycle(spark):
     base = "http://c00.test"
     pages = [
         (f"{base}/a", "c00.test", 200, "text/html",
-         _html_body(["/b", "/boom"], [], None), None, ["/b", "/boom"], None, [], False, 5, None, None),
+         _html_body(["/b", "/boom"], [], None), None, ["/b", "/boom"], None, [], False, 5, None, None, None),
         (f"{base}/b", "c00.test", 200, "text/html",
-         _html_body(["/a"], [], None), None, ["/a"], None, [], False, 5, None, None),
+         _html_body(["/a"], [], None), None, ["/a"], None, [], False, 5, None, None, None),
         (f"{base}/boom", "c00.test", 500, "text/html", b"oops",
-         None, [], None, [], False, 5, None, None),
+         None, [], None, [], False, 5, None, None, None),
     ]
     t = {
         "pages": spark.createDataFrame(pages, schema=schemas.PAGES).cache(),

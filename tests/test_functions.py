@@ -108,18 +108,36 @@ def test_brute_force_topk_finds_neardup(emb):
     assert out[0]["neighbor_id"] == 1 and out[0]["rank"] == 1
 
 
-def test_ivf_recall_vs_brute_force(emb):
-    qids = [0, 5, 10]
-    brute = {
-        (r["query_id"], r["neighbor_id"])
-        for r in similarity.brute_force_topk(emb, qids, k=3).collect()
-    }
-    ivf = {
-        (r["query_id"], r["neighbor_id"])
-        for r in similarity.ivf_topk(emb, qids, k=3, bits=4, probe_flip_bits=2).collect()
-    }
-    recall = len(brute & ivf) / len(brute)
-    assert recall >= 0.5  # multi-probe over 4 bits on 40 vectors
+def test_ivf_recall_vs_brute_force(spark):
+    """recall@5 >= 0.9 on a clustered corpus, across 3 seeds (VERDICT r2:
+    the old 0.5 bar on 40 random gaussians was a weak bar for a component
+    whose whole point is recall). Clustered data is the honest ANN workload
+    — true neighbors share sign patterns, and multi-probe covers quantizer
+    boundary cases; on UNclustered gaussians top-k "neighbors" are
+    near-orthogonal and any LSH scheme degrades toward bucket coverage."""
+    for seed in (7, 21, 1234):
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(size=(30, 16))
+        pts = (
+            centers[:, None, :] + rng.normal(scale=0.15, size=(30, 20, 16))
+        ).reshape(-1, 16).astype("float32")
+        emb_df = spark.createDataFrame(
+            [(i, [float(x) for x in pts[i]]) for i in range(len(pts))],
+            "vec_id long, embedding array<float>",
+        )
+        qids = [int(q) for q in rng.choice(len(pts), size=10, replace=False)]
+        brute = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.brute_force_topk(emb_df, qids, k=5).collect()
+        }
+        ivf = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_topk(
+                emb_df, qids, k=5, bits=6, probe_flip_bits=2
+            ).collect()
+        }
+        recall = len(brute & ivf) / len(brute)
+        assert recall >= 0.9, f"seed {seed}: recall@5 = {recall:.3f} < 0.9"
 
 
 def test_embedding_neardup_pairs(emb):
@@ -154,8 +172,15 @@ def test_image_features_and_resize(spark):
             assert feats[i["image_id"]]["phash"] == i["phash"]
     small = multimodal.resize_images(df, 8, 6).collect()
     assert len(small) == 4
+    assert all(r["decode_ok"] for r in small)
     arr = imagecodec.decode(small[0]["bytes"])
     assert arr.shape == (6, 8, 3)
+    # undecodable rows come back flagged, not silently dropped
+    bad = spark.createDataFrame(
+        [("junk", b"\x00not-an-image", 8, 6, "png", "c", 0)], schema=schemas.IMAGES
+    )
+    out = multimodal.resize_images(bad, 8, 6).collect()
+    assert len(out) == 1 and out[0]["decode_ok"] is False and out[0]["bytes"] is None
 
 
 def test_multimodal_stubs_raise():

@@ -49,3 +49,28 @@ def test_non_html_and_broken_bodies():
     # truncated/garbage HTML must not raise
     out = extract_one(b"<html><a href='/ok'><di", "text/html", "http://x.test/", None)
     assert ("link", "http://x.test/ok") in [(m[2], m[3]) for m in out]
+
+
+def test_foreach_with_break():
+    """P8 ForEachWithBreak (htmlelement.go:119-131): iteration over a
+    spec's matches stops at the first match that also matches
+    break_selector — it and everything after are not emitted."""
+    from colly_spark.config import ExtractorSpec
+    from colly_spark.operators.parse import extract_one
+
+    body = (
+        b"<html><body>"
+        b"<li class='a'>one</li><li class='a'>two</li>"
+        b"<li class='stop a'>three</li><li class='a'>four</li>"
+        b"</body></html>"
+    )
+    spec = ExtractorSpec(selector="li", break_selector="li.stop")
+    out = extract_one(body, "text/html", "http://x.test/", None,
+                      follow_links=False, extract_images=False,
+                      extractors=(spec,))
+    assert [m[6] for m in out] == ["one", "two"]  # text field; stops before 'three'
+    # without the break the same selector yields all four
+    out_all = extract_one(body, "text/html", "http://x.test/", None,
+                          follow_links=False, extract_images=False,
+                          extractors=(ExtractorSpec(selector="li"),))
+    assert [m[6] for m in out_all] == ["one", "two", "three", "four"]
