@@ -43,7 +43,12 @@ def run_proc(cpus: int, domains: int, pages: int, offset: int):
         BENCH_SKIP_QUERIES="1",
         BENCH_DOMAIN_OFFSET=str(offset),
         SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "12g"),
-        SPARK_LOCAL_DIRS=f"/tmp/spark-mp-{offset}",
+        # shard-private scratch; BENCH_MP_LOCAL_BASE=/dev/shm moves shuffle
+        # and checkpoint spill to tmpfs (diagnostic: separates device
+        # contention from other inter-JVM interference)
+        SPARK_LOCAL_DIRS=os.path.join(
+            os.environ.get("BENCH_MP_LOCAL_BASE", "/tmp"), f"spark-mp-{offset}"
+        ),
         # size each JVM's GC/JIT/netty pools for its OWN slice of the host
         SPARK_GRAFT_PROC_CPUS=str(cpus),
     )

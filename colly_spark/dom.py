@@ -324,14 +324,13 @@ def css_select(root: ET.Element, selector: str | list) -> list[ET.Element]:
 # ---------------------------------------------------------------------------
 
 
-def xpath_select(root: ET.Element, xpath: str) -> list[ET.Element]:
-    """Evaluate colly-test-style XPath over the wrapped tree.
+_XP_ATTR_TAIL = re.compile(r"/@([\w:-]+)$")
+_XP_CONTAINS = re.compile(
+    r"\[contains\((@[\w:-]+|text\(\)|\.),\s*(['\"])(.*?)\2\)\]$"
+)
 
-    ``//x`` -> anywhere; ``/x/y`` -> absolute from the document element.
-    Predicates supported by ElementTree pass through ([@attr], [@a='v'],
-    [tag], [position]).
-    """
-    p = xpath.strip()
+
+def _xpath_elements(root: ET.Element, p: str) -> list[ET.Element]:
     if p.startswith("//"):
         return root.findall("." + p)  # './/x' anywhere
     if p.startswith("/"):
@@ -339,3 +338,67 @@ def xpath_select(root: ET.Element, xpath: str) -> list[ET.Element]:
         # our wrapper's children ARE the document element(s)
         return root.findall(p.lstrip("/"))
     return root.findall(p)
+
+
+def xpath_select(root: ET.Element, xpath: str) -> list:
+    """Evaluate colly-test-style XPath over the wrapped tree.
+
+    ``//x`` -> anywhere; ``/x/y`` -> absolute from the document element.
+    Predicates supported by ElementTree pass through ([@attr], [@a='v'],
+    [tag], [position]). On top of ElementPath:
+
+    - ``.../text()`` returns the matched elements' direct text (STRING
+      results — the sitemap idiom ``//loc/text()``, xmlelement.go:26-42's
+      xmlquery evaluates full XPath 1.0);
+    - ``.../@attr`` returns attribute value strings (``//img/@src``);
+    - a final-step ``[contains(@attr, 'v')]`` / ``[contains(text(), 'v')]``
+      / ``[contains(., 'v')]`` predicate filters the match set (the most
+      common non-ElementPath predicate; mid-path contains is not
+      supported and raises).
+    """
+    p = xpath.strip()
+    tail = None  # ('text',) | ('attr', name)
+    if p.endswith("/text()"):
+        tail = ("text",)
+        p = p[: -len("/text()")]
+    else:
+        m = _XP_ATTR_TAIL.search(p)
+        if m:
+            tail = ("attr", m.group(1))
+            p = p[: m.start()]
+    pred = None
+    m = _XP_CONTAINS.search(p)
+    if m:
+        pred = (m.group(1), m.group(3))
+        p = p[: m.start()]
+    if "contains(" in p:
+        raise ValueError(
+            f"contains() is only supported in the final step: {xpath!r}"
+        )
+    els = _xpath_elements(root, p)
+    if pred is not None:
+        subj, needle = pred
+        if subj == "text()":
+            els = [e for e in els if needle in _direct_text(e)]
+        elif subj == ".":
+            els = [e for e in els if needle in text_content(e)]
+        else:
+            els = [
+                e for e in els
+                if e.get(subj[1:]) is not None and needle in e.get(subj[1:])
+            ]
+    if tail is None:
+        return els
+    if tail[0] == "text":
+        out = [_direct_text(e) for e in els]
+        return [t for t in out if t]
+    return [e.get(tail[1]) for e in els if e.get(tail[1]) is not None]
+
+
+def _direct_text(el: ET.Element) -> str:
+    """Concatenated DIRECT text-node children (what ``text()`` selects —
+    child elements' text excluded, unlike ``text_content``)."""
+    parts = [el.text or ""]
+    for child in el:
+        parts.append(child.tail or "")
+    return "".join(parts)

@@ -452,6 +452,21 @@ def extract_one(
                 kept.append(el)
             matches = kept
         for i, el in enumerate(matches):
+            if isinstance(el, str):
+                # string results from XPath text()/@attr selection
+                # (dom.xpath_select): the value IS the match
+                if spec.action == "follow":
+                    absu = absolutize(base, el)
+                    if absu is None:
+                        continue
+                    out.append((sel_idx, i, "link", absu, None, None, None, None, None))
+                else:
+                    v = _trim(el)
+                    out.append(
+                        (sel_idx, i, "element", v, spec.name or spec.selector,
+                         None, v, None, None)
+                    )
+                continue
             if spec.action == "follow":
                 href = el.get(spec.attr or "href")
                 absu = absolutize(base, href) if href else None

@@ -370,3 +370,53 @@ def test_follow_extractor_feeds_links():
         extractors=(ExtractorSpec(selector="a.go", action="follow"),),
     )
     assert [(m[0], m[2], m[3]) for m in matches] == [(2, "link", "http://x.test/x")]
+
+
+def test_xpath_text_attr_contains():
+    """XPath depth beyond colly's own test forms (xmlelement.go:26-42
+    evaluates full XPath 1.0): //x/text(), //x/@attr, final-step
+    contains()."""
+    xml = (
+        "<urlset>"
+        "<url><loc>http://a.test/1</loc><pri>0.5</pri></url>"
+        "<url><loc>http://b.test/2</loc></url>"
+        "</urlset>"
+    )
+    tree = dom.parse_xml(xml)
+    assert dom.xpath_select(tree, "//loc/text()") == [
+        "http://a.test/1", "http://b.test/2",
+    ]
+    html = dom.parse_html(
+        '<div><img src="i1.png"><a href="/dl/x">get</a>'
+        '<a href="/page/y">view</a><p class="note alert">n</p></div>'
+    )
+    assert dom.xpath_select(html, "//img/@src") == ["i1.png"]
+    got = dom.xpath_select(html, '//a[contains(@href, "dl")]')
+    assert [e.get("href") for e in got] == ["/dl/x"]
+    assert [e.tag for e in dom.xpath_select(html, '//p[contains(@class, "alert")]')] == ["p"]
+    assert dom.xpath_select(html, '//a[contains(text(), "vie")]/@href') == ["/page/y"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        dom.xpath_select(html, '//div[contains(@class, "x")]/a')
+
+
+def test_xpath_string_results_through_extractor():
+    from colly_spark.config import ExtractorSpec
+    from colly_spark.operators.parse import extract_one
+
+    body = (
+        b"<?xml version='1.0'?><urlset>"
+        b"<url><loc>http://a.test/1</loc></url>"
+        b"<url><loc>relative/2</loc></url></urlset>"
+    )
+    spec = ExtractorSpec(selector="//loc/text()", xpath=True, action="follow")
+    out = extract_one(body, "application/xml", "http://a.test/sitemap.xml", None,
+                      follow_links=False, extract_images=False, extractors=(spec,))
+    assert [(m[2], m[3]) for m in out] == [
+        ("link", "http://a.test/1"), ("link", "http://a.test/relative/2"),
+    ]
+    spec2 = ExtractorSpec(selector="//loc/text()", xpath=True, name="locs")
+    out2 = extract_one(body, "application/xml", "http://a.test/sitemap.xml", None,
+                       follow_links=False, extract_images=False, extractors=(spec2,))
+    assert [m[3] for m in out2] == ["http://a.test/1", "relative/2"]
