@@ -342,6 +342,16 @@ def test_request_headers_parity(spark, tabs):
     assert "http://d00.test/auth/inner" in {v["url"] for v in sim.visits}
 
 
+def test_seen_base_merge_every_round_parity(spark, tabs):
+    """The url_seen base/tail store under aggressive compaction: merging the
+    tail into the partitioned base EVERY round (seen_merge_every=1) must not
+    change any crawl output — probes hit the base instead of the broadcast
+    tail, which is the 10^10 steady state."""
+    cfg = CrawlConfig(max_depth=3, ignore_robots_txt=False,
+                      seen_merge_every=1, shuffle_partitions=8)
+    run_compare(spark, tabs, make_seeds(["http://d00.test/page/0"]), cfg)
+
+
 def test_checkpoint_resume_equals_uninterrupted(spark, tabs, tmp_path):
     cfg = CrawlConfig(max_depth=3, shuffle_partitions=8)
     seeds = make_seeds(["http://d00.test/page/0"])
