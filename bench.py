@@ -20,6 +20,33 @@ import sys
 import time
 
 
+def _cpu_times() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat — None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):  # pragma: no cover
+        return None
+
+
+def steal_pct_since(before: tuple[int, int] | None) -> float | None:
+    """Hypervisor CPU-steal %% across the window since ``before``.
+
+    The host shows 1-12%% steal varying by the hour (BENCH/BASELINE.md) —
+    enough to move the sf0.1 crawl number 3x between rounds. Embedding the
+    measured steal in the bench JSON lets a reader judge the number against
+    host conditions instead of re-adjudicating by hand (VERDICT r3 item 10).
+    """
+    after = _cpu_times()
+    if before is None or after is None:
+        return None
+    dt = after[1] - before[1]
+    return round(100.0 * (after[0] - before[0]) / dt, 2) if dt > 0 else None
+
+
 def crawl_bench(spark, n_domains: int, pages_per_domain: int) -> dict:
     from pyspark.sql import functions as F
 
@@ -102,11 +129,13 @@ def crawl_bench(spark, n_domains: int, pages_per_domain: int) -> dict:
         seen_bloom_delivery=os.environ.get("BENCH_BLOOM_DELIVERY", "auto"),
     )
     crawler = Crawler(spark, cfg, pages, images, robots)
+    cpu0 = _cpu_times()
     t0 = time.time()
     out = crawler.run(seeds, max_rounds=3)
     n_visits = out["visits"].count()
     n_results = out["results"].count()
     wall = time.time() - t0
+    steal = steal_pct_since(cpu0)
     for s in crawler.stats:
         print(s, file=sys.stderr)
     pages.unpersist()
@@ -116,6 +145,7 @@ def crawl_bench(spark, n_domains: int, pages_per_domain: int) -> dict:
         "results": n_results,
         "wall_s": round(wall, 2),
         "urls_per_sec": round(n_visits / wall, 1),
+        "steal_pct": steal,
     }
 
 
@@ -140,11 +170,13 @@ def main() -> None:
 
     qtimes: dict[str, float] = {}
     items = {} if os.environ.get("BENCH_SKIP_QUERIES") else entrymod.queries()
+    qcpu0 = _cpu_times()
     for name, fn in items.items():
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         qtimes[name] = round(time.time() - t0, 3)
+    q_steal = steal_pct_since(qcpu0)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
@@ -155,6 +187,8 @@ def main() -> None:
                 "unit": "urls/sec",
                 "crawl": crawl,
                 "queries": qtimes,
+                "steal_pct": crawl.get("steal_pct"),
+                "queries_steal_pct": q_steal,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
             }

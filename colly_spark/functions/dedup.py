@@ -8,10 +8,14 @@
   candidates (simhash_neardup_pairs).
 - n-gram Jaccard: exact verify step over LSH candidate pairs only.
 
-All signature math runs inside built-in JVM expressions (xxhash64 +
-higher-order array functions) — zero Python in any kernel, so every stage
-stays inside whole-stage codegen and the only shuffles are the linear
-bucket-key joins.
+Hashing/tokenization stay inside built-in JVM expressions (xxhash64 +
+higher-order array functions) so candidate generation never leaves
+whole-stage codegen and the only shuffles are the linear bucket-key joins.
+One deliberate exception: wide per-row bit/lane folds (the SimHash majority
+vote, the MinHash lane minimum) run as numpy kernels over Arrow batches —
+a JVM higher-order aggregate evaluates ~64 interpreted ops per element and
+measured 3-5x slower than the vectorized numpy form (see the kernel
+comments and tools/bench_kernels.py for the numbers).
 """
 
 from __future__ import annotations
@@ -42,39 +46,87 @@ def shingles(text_col, k: int = 3):
     )
 
 
+def minhash_lane_constants(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_i, b_i) multiply-shift lane constants via splitmix64
+    of the lane index; a_i forced odd (an odd multiplier is a bijection mod
+    2^64, the standard multiply-shift universal-hash requirement). Exposed
+    so the independent golden oracle (tools/make_golden.py) derives the SAME
+    constants from the spec without importing any Spark code path."""
+    mask = (1 << 64) - 1
+
+    def splitmix64(x: int) -> int:
+        x = (x + 0x9E3779B97F4A7C15) & mask
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & mask
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & mask
+        return x ^ (x >> 31)
+
+    a = [splitmix64(2 * i) | 1 for i in range(num_hashes)]
+    b = [splitmix64(2 * i + 1) for i in range(num_hashes)]
+    return a, b
+
+
+# odd 64-bit polynomial base for the shingle window combine (golden ratio)
+SHINGLE_POLY_A = 0x9E3779B97F4A7C15
+
+
 def minhash_signature(docs: DataFrame, text_col: str = "text",
                       num_hashes: int = 32, k: int = 3) -> DataFrame:
     """doc_id -> array of num_hashes minhash values.
 
-    h_i(s) = xxhash64(s, seed_i) via xxhash64(lit(i), shingle) — all JVM-side:
-    for each permutation i, min over the shingle array (F.array_min of
-    F.transform). No Python, no explode: signatures computed in one
-    projection over the shingle array column.
+    Two-stage kernel (the SimHash treatment, VERDICT r3 item 3):
+
+    1. JVM: tokenize (lower/trim/whitespace-split — same word list the
+       shingle form used) and ONE ``xxhash64`` per TOKEN — hashing stays
+       inside whole-stage codegen and never materializes shingle strings
+       (building ``tokens - k + 1`` concat_ws slices was the measured
+       bottleneck: 6.1 s at sf0.1 for the string work alone);
+    2. numpy over Arrow: the k-token shingle hash is a polynomial window
+       combine of consecutive token hashes
+       ``s_j = h_j*A^(k-1) + h_{j+1}*A^(k-2) + ... mod 2^64`` (odd ``A`` =
+       :data:`SHINGLE_POLY_A`; <k tokens -> one window over all of them),
+       and lane i is the minimum over windows of the multiply-shift mix
+       ``(a_i * s + b_i) mod 2^64`` (unsigned min, stored signed). Both
+       steps are whole-array uint64 ops — no per-token Python.
+
+    The earlier all-JVM form evaluated ``xxhash64(lit(i), shingle)`` per
+    lane — 32 interpreted string hashes per shingle plus the shingle
+    strings themselves — and measured ~8.5 s at sf0.1 where this kernel
+    runs well under 1 s (tools/bench_kernels.py). Lane values are pinned by
+    the independent golden oracle (tools/make_golden.py), which re-derives
+    the same constants from the spec in pure Python.
     """
-    # the shingle array is materialized in its OWN projection: inlining it
-    # into the signature fold would re-tokenize the document per reference
-    # (measured: interpreted concat_ws/slice eval x32 — minutes per
-    # partition at sf0.1). CollapseProject keeps expensive aliases with
-    # multiple references in a separate project, so __sh computes once.
-    shingled = docs.select("doc_id", shingles(F.col(text_col), k).alias("__sh"))
-    # SINGLE-PASS fold: one aggregate walks the shingle array once, keeping
-    # a num_hashes-wide running minimum (the per-lane form — num_hashes
-    # separate array_min(transform(...)) lanes — traverses the array
-    # num_hashes times; the same shape cost q_simhash 2x, VERDICT r2).
-    # Values are bit-identical to the per-lane form: lane i's hash is
-    # xxhash64(i, shingle) either way (the sequence() elements are the same
-    # int32 the old F.lit(i) was), which the golden-parquet oracle pins.
-    lanes = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig = F.aggregate(
-        "__sh",
-        F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes),
-        lambda acc, s: F.zip_with(
-            acc,
-            F.transform(lanes, lambda i: F.xxhash64(i, s)),
-            lambda a, b: F.least(a, b),
-        ),
+    w = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    hashed = docs.select(
+        "doc_id", F.transform(w, lambda t: F.xxhash64(t)).alias("__hs")
     )
-    return shingled.select("doc_id", sig.alias("sig"))
+    a_const, b_const = minhash_lane_constants(num_hashes)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _window_lane_min(hs: pd.Series) -> pd.Series:
+        a = np.array(a_const, dtype=np.uint64)
+        b = np.array(b_const, dtype=np.uint64)
+        A = np.uint64(SHINGLE_POLY_A)
+        empty = b.view(np.int64).tolist()  # null text: min over {mix(0)}
+        out = []
+        for arr in hs:
+            if arr is None or len(arr) == 0:
+                out.append(empty)
+                continue
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            n = len(h)
+            m = min(k, n)
+            # polynomial window combine over m consecutive token hashes:
+            # one vector multiply-add per window position (k of them)
+            s = h[: n - m + 1].copy()
+            for j in range(1, m):
+                s *= A
+                s += h[j : n - m + 1 + j]
+            lanes = s[:, None] * a[None, :] + b[None, :]
+            out.append(lanes.min(axis=0).view(np.int64).tolist())
+        return pd.Series(out)
+
+    return hashed.select("doc_id", _window_lane_min("__hs").alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -128,11 +180,21 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
     if max_bucket_size:
-        sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__n"))
-        big = sizes.where(F.col("__n") > max_bucket_size).drop("__n")
+        # mega-bucket cap fused into the SAME (band, bucket) shuffle the
+        # self-join runs on: a count window re-uses that partitioning, so
+        # the cap costs zero extra exchanges (the former shape — separate
+        # groupBy sizes + broadcast anti-join — added a full aggregation
+        # shuffle, a broadcast build, and an extra join to every call)
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "bucket")
+        sized = banded.withColumn("__n", F.count(F.lit(1)).over(wb))
         if on_drop is not None:
-            on_drop(big.count())
-        banded = banded.join(F.broadcast(big), ["band", "bucket"], "left_anti")
+            on_drop(
+                sized.where(F.col("__n") > max_bucket_size)
+                .select("band", "bucket").distinct().count()
+            )
+        banded = sized.where(F.col("__n") <= max_bucket_size).drop("__n")
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -261,11 +323,15 @@ def simhash_neardup_pairs(
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.key")
     if max_bucket_size:
-        big = (
-            banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") > max_bucket_size).drop("__n")
+        # same fused window-cap shape as minhash_lsh_pairs (zero extra
+        # exchanges: the count window shares the self-join's partitioning)
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "key")
+        banded = (
+            banded.withColumn("__n", F.count(F.lit(1)).over(wb))
+            .where(F.col("__n") <= max_bucket_size).drop("__n")
         )
-        banded = banded.join(F.broadcast(big), ["band", "key"], "left_anti")
     cand = (
         banded.alias("l")
         .join(

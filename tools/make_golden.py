@@ -16,10 +16,16 @@ Writes golden/q_minhash_neardup.<sfname>.parquet and
 Must mirror colly_spark/functions/dedup.py exactly:
 - simhash_col: distinct lowercase whitespace tokens, one xxhash64 per
   token, per-bit majority vote (2*cnt >= n), empty -> 0;
-- minhash_lsh_pairs: 3-word shingles over whitespace-normalized lowercase
-  text, sig_i = min_s xxhash64(lit(i), s) (signed min), 8 bands x 4 rows,
-  bucket = xxhash64(comma-joined signed decimal strings), buckets > 256
-  dropped, est_jaccard = matching positions / 32 >= 0.8.
+- minhash_lsh_pairs: words = whitespace-normalized lowercase tokens, one
+  xxhash64 per TOKEN; the 3-token shingle hash is the polynomial window
+  combine s_j = ((h_j*A + h_{j+1})*A + h_{j+2}) mod 2^64 with the odd
+  golden-ratio constant A (dedup.SHINGLE_POLY_A; <3 tokens -> one window
+  over all); lane i = min_j (a_i * s_j + b_i) mod 2^64 (UNSIGNED min,
+  stored signed) with the splitmix64-derived multiply-shift constants of
+  dedup.minhash_lane_constants (re-derived here from the spec, not
+  imported); 8 bands x 4 rows, bucket = xxhash64(comma-joined signed
+  decimal strings), buckets > 256 dropped, est_jaccard = matching
+  positions / 32 >= 0.8.
 """
 
 from __future__ import annotations
@@ -67,16 +73,37 @@ def shingles(text: str | None, k: int = K) -> list[str]:
     return [" ".join(w[i:i + k]) for i in range(len(w) - k + 1)]
 
 
+def _splitmix64(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & MASK64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & MASK64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & MASK64
+    return x ^ (x >> 31)
+
+
+# multiply-shift lane constants per the spec in dedup.minhash_lane_constants
+# (derived here independently — this file imports no dedup code)
+LANE_A = [_splitmix64(2 * i) | 1 for i in range(NUM_HASHES)]
+LANE_B = [_splitmix64(2 * i + 1) for i in range(NUM_HASHES)]
+POLY_A = 0x9E3779B97F4A7C15  # dedup.SHINGLE_POLY_A (odd golden ratio)
+
+
 def minhash_sig(text: str | None) -> list[int]:
-    sh = shingles(text)
-    # seed lane folds left exactly like F.xxhash64(lit(i), s): int lane
-    # first, then the shingle's string lane with the running hash as seed
-    sig = []
-    for i in range(NUM_HASHES):
-        # F.lit(i) is an IntegerType literal -> hashInt lane
-        seed_i = xxh.hash_int(i, xxh.SPARK_SEED)
-        sig.append(min(to_signed(xxh.hash_bytes(s.encode("utf-8"), seed_i)) for s in sh))
-    return sig
+    # one xxhash64 per TOKEN; k-token shingle hash = polynomial window
+    # combine; per lane the unsigned min of the multiply-shift mix,
+    # stored as Spark's signed long
+    w = re.sub(r"\s+", " ", (text or "").strip().lower()).split(" ")
+    hs = [xxh.spark_xxhash64(t) & MASK64 for t in w]
+    m = min(K, len(hs))
+    windows = []
+    for j in range(len(hs) - m + 1):
+        s = 0
+        for x in hs[j:j + m]:
+            s = (s * POLY_A + x) & MASK64
+        windows.append(s)
+    return [
+        to_signed(min(((LANE_A[i] * s) + LANE_B[i]) & MASK64 for s in windows))
+        for i in range(NUM_HASHES)
+    ]
 
 
 def minhash_pairs(docs: list[tuple[int, str]]) -> list[tuple[int, int, float]]:
