@@ -352,7 +352,10 @@ def test_seen_base_merge_every_round_parity(spark, tabs):
     run_compare(spark, tabs, make_seeds(["http://d00.test/page/0"]), cfg)
 
 
-def test_checkpoint_resume_equals_uninterrupted(spark, tabs, tmp_path):
+@pytest.mark.parametrize("backend", ["ck", "ck.db"])
+def test_checkpoint_resume_equals_uninterrupted(spark, tabs, tmp_path, backend):
+    """Parameterized over both durable backends (parquet tree / sqlite) —
+    the Storage seam the reference ships (storage/storage.go:30-42)."""
     cfg = CrawlConfig(max_depth=3, shuffle_partitions=8)
     seeds = make_seeds(["http://d00.test/page/0"])
     # uninterrupted
@@ -362,7 +365,7 @@ def test_checkpoint_resume_equals_uninterrupted(spark, tabs, tmp_path):
     full_visits = [(r["fetch_seq"], r["url"]) for r in
                    full["visits"].orderBy("fetch_seq").collect()]
     # interrupted after 2 rounds, then resumed by a NEW crawler instance
-    ck = str(tmp_path / "ck")
+    ck = str(tmp_path / backend)
     cr1 = Crawler(spark, cfg, tabs["pages"], tabs["images"], tabs["robots"],
                   checkpoint_dir=ck)
     cr1.run(seeds, max_rounds=2)

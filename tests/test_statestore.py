@@ -1,23 +1,48 @@
 """Bucketed (base/tail) url_seen store: correctness of the LSM-shaped
 maintenance and the scale property it exists for — the per-round seen probe
 must never re-shuffle or re-sort the big base side (VERDICT r2 item 2: the
-per-round full-table distinct+shuffle was the one true 10^10 cliff left)."""
+per-round full-table distinct+shuffle was the one true 10^10 cliff left).
+
+Round 4: the same properties hold in DISK (checkpoint) mode — round-delta
+parquet dirs are the durable format, the partitioned base lives in memory
+during the run, one repartition at resume (VERDICT r3 item 2) — so most
+tests parameterize over both modes."""
 
 import pytest
 from pyspark.sql import functions as F
 
 from colly_spark import schemas
 from colly_spark.engine import seen_probe
-from colly_spark.statestore import StateStore
+from colly_spark.statestore import SqliteStateStore, StateStore, make_state_store
 
 BUCKETED = {
     "url_seen": {"keys": ("domain_hash", "url_hash"), "partitions": 8, "merge_every": 2}
 }
 
 
-def _store(spark, merge_every=2):
+def _store(spark, merge_every=2, checkpoint_dir=None):
     spec = {k: dict(v, merge_every=merge_every) for k, v in BUCKETED.items()}
-    return StateStore(spark, {"url_seen": schemas.URL_SEEN}, bucketed=spec)
+    return make_state_store(
+        spark, {"url_seen": schemas.URL_SEEN}, checkpoint_dir=checkpoint_dir,
+        bucketed=spec,
+    )
+
+
+@pytest.fixture(params=["memory", "disk", "sqlite"])
+def mode_dir(request, tmp_path):
+    if request.param == "memory":
+        return None
+    suffix = "ckpt" if request.param == "disk" else "ckpt.db"
+    return str(tmp_path / suffix)
+
+
+def test_factory_dispatch(spark, tmp_path):
+    parquet = make_state_store(spark, {"url_seen": schemas.URL_SEEN},
+                               str(tmp_path / "tree"))
+    lite = make_state_store(spark, {"url_seen": schemas.URL_SEEN},
+                            str(tmp_path / "state.db"))
+    assert type(parquet) is StateStore
+    assert type(lite) is SqliteStateStore
 
 
 def _rows(spark, pairs, rnd=0):
@@ -26,8 +51,8 @@ def _rows(spark, pairs, rnd=0):
     )
 
 
-def test_base_tail_union_equals_appends(spark):
-    st = _store(spark, merge_every=2)
+def test_base_tail_union_equals_appends(spark, mode_dir):
+    st = _store(spark, merge_every=2, checkpoint_dir=mode_dir)
     seen = set()
     for rnd in range(5):
         pairs = [(rnd % 3, 100 * rnd + i) for i in range(4)]
@@ -44,21 +69,21 @@ def test_base_tail_union_equals_appends(spark):
     assert base.count() + (tail.count() if tail is not None else 0) == len(seen)
 
 
-def test_pending_visible_before_compact(spark):
+def test_pending_visible_before_compact(spark, mode_dir):
     # the hop-conflict probe reads marks staged earlier in the SAME round
-    st = _store(spark)
+    st = _store(spark, checkpoint_dir=mode_dir)
     st.stage_append("url_seen", _rows(spark, [(1, 11)], 0), 0)
     assert st.get("url_seen").count() == 1
     base, tail = st.get_parts("url_seen")
     assert base is None and tail is not None and tail.count() == 1
 
 
-def test_base_join_has_no_base_exchange(spark):
+def test_base_join_has_no_base_exchange(spark, mode_dir):
     """The reason the base exists: a probe join re-shuffles ONLY the probe
     side. The base's hash-partitioning + sort survive its checkpoint, so the
     final plan contains exactly one Exchange (probe) and no Sort above the
     base scan."""
-    st = _store(spark, merge_every=1)
+    st = _store(spark, merge_every=1, checkpoint_dir=mode_dir)
     st.stage_append(
         "url_seen",
         _rows(spark, [(d, 1000 * d + i) for d in range(8) for i in range(500)], 0),
@@ -86,8 +111,49 @@ def test_base_join_has_no_base_exchange(spark):
     assert final.count("Sort ") <= 1, f"base side re-sorted:\n{final}"
 
 
-def test_probe_flag_correct_across_base_and_tail(spark):
-    st = _store(spark, merge_every=2)
+@pytest.mark.parametrize("backend", ["ckpt", "ckpt.db"])
+def test_disk_resume_reestablishes_base_partitioning(spark, tmp_path, backend):
+    """A resumed store pays ONE repartition at load, then probes join with
+    no base-side exchange — the round-3 cliff (flat round=* union re-
+    shuffled per round on the resumable path) stays gone across restarts,
+    on BOTH durable backends. A second resume must also read each row
+    exactly once (the durable base rewrite retires the segments it
+    merged)."""
+    ckpt = str(tmp_path / backend)
+    rows = [(d, 1000 * d + i) for d in range(8) for i in range(200)]
+    st = _store(spark, merge_every=1, checkpoint_dir=ckpt)
+    st.stage_append("url_seen", _rows(spark, rows, 0), 0)
+    st.compact(["url_seen"])
+    st.commit_round(0, {})
+
+    st2 = _store(spark, merge_every=1, checkpoint_dir=ckpt)
+    base, tail = st2.get_parts("url_seen")
+    assert base is not None and tail is None
+    assert base.count() == len(rows)
+    probe = spark.range(64).select(
+        (F.col("id") % 8).cast("int").alias("__dh"),
+        (F.col("id") * 37).alias("url_hash"),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = seen_probe(probe, base, None)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, f"resumed base re-shuffled:\n{final}"
+
+    # append + merge after resume, commit, resume again: exactly-once rows
+    st2.stage_append("url_seen", _rows(spark, [(3, 77)], 1), 1)
+    st2.compact(["url_seen"])  # merge_every=1 -> durable base rewrite
+    st2.commit_round(1, {})
+    st3 = _store(spark, merge_every=1, checkpoint_dir=ckpt)
+    assert st3.get("url_seen").count() == len(rows) + 1
+
+
+def test_probe_flag_correct_across_base_and_tail(spark, mode_dir):
+    st = _store(spark, merge_every=2, checkpoint_dir=mode_dir)
     st.stage_append("url_seen", _rows(spark, [(0, 1), (1, 2)], 0), 0)
     st.compact(["url_seen"])
     st.compact(["url_seen"])  # second compact triggers the merge -> base
