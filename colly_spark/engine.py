@@ -42,7 +42,7 @@ from colly_spark.operators import schedule as sched_op
 from colly_spark.operators.fetch import fetch_ms_col, redirect_closure
 from colly_spark.operators.filters import static_filter_kind
 from colly_spark.operators.seq import with_ordered_counts
-from colly_spark.statestore import StateStore
+from colly_spark.statestore import make_state_store
 from colly_spark.urlkit import register_udfs
 
 GET = "GET"
@@ -120,7 +120,7 @@ class Crawler:
         self.robots_fixture = robots if robots is not None else spark.createDataFrame(
             [], schema=schemas.ROBOTS_FIXTURE
         )
-        self.store = StateStore(
+        self.store = make_state_store(
             spark, STATE_SCHEMAS, checkpoint_dir,
             replace_tables=("pending", "candidates", "seen_filters"),
             # url_seen as an LSM-shaped bucketed table: partitioned base
@@ -202,6 +202,436 @@ class Crawler:
             ).count()
         self.stats: list[RoundStats] = []
         self._pins: list[DataFrame] = []
+        self._prebuild()
+
+    # ------------------------------------------------------------------
+    def _prebuild(self) -> None:
+        """Build every config-static plan fragment ONCE.
+
+        The round DAG is config-static — only the input frames change — so
+        all Column expressions and projection lists that depend only on the
+        CrawlConfig (filters, header/cookie machinery, the fetch-time
+        model, the fetch-phase select lists) are constructed here and
+        reused by every round. Re-building them per round was the dominant
+        serial term of the round loop (BENCH/BASELINE.md r3 attribution:
+        ~4 s/round of pure py4j DataFrame-API chatter, ratio 1.0x between
+        2 and 8 cores — the Amdahl cap behind the 0.65 scaling
+        efficiency). Column objects are immutable expression trees bound
+        to names, not frames, so reuse across rounds is safe.
+        """
+        cfg = self.cfg
+        hdr_on = bool(cfg.abort_request_header_filters)
+
+        # ---- submission: cwide projection (F1 canonicalize + F2 hash) ----
+        cand_cols = [f.name for f in CANDIDATES.fields]
+        self._sel_cwide = [
+            *cand_cols,
+            F.col("__p.canon_url").alias("canon_url"),
+            F.col("__p.domain").alias("domain"),
+            F.col("__p.path_query").alias("path_query"),
+            F.xxhash64(
+                F.coalesce(F.col("__p.canon_url"), F.lit("")),
+                F.coalesce("body", F.lit(b"")),
+            ).alias("url_hash"),
+            self.rule_idx_udf(F.col("__p.domain")).alias("rule_idx"),
+            # politeness-aligned seen-partition key, shared by the url_seen
+            # insert and the Bloom probe (must match on both sides — a
+            # mismatch would turn Bloom false negatives into missed dedups)
+            F.pmod(F.xxhash64(F.col("__p.domain")), F.lit(cfg.seen_bloom_partitions))
+            .cast("int").alias("__dh"),
+        ]
+        # ---- skinny requestCheck projection + static gates ----
+        self._sk_carry = [
+            *ORDER_COLS, "url_hash", "__dh", "domain", "path_query", "method",
+            "depth", "skip_seen_check", "rule_idx", "__body_notnull",
+            "__url_bad", "__static_kind", "__abort",
+        ]
+        self._sel_sk = [
+            *ORDER_COLS, "url_hash", "__dh", "domain", "path_query", "method",
+            "depth", "skip_seen_check", "rule_idx",
+            F.col("body").isNotNull().alias("__body_notnull"),
+            F.col("canon_url").isNull().alias("__url_bad"),
+            static_filter_kind(cfg, F.col("canon_url"), F.col("domain")).alias(
+                "__static_kind"
+            ),
+            _abort_match(cfg, F.col("canon_url")).alias("__abort"),
+        ]
+        self._x_depth_bad = (
+            (F.lit(cfg.max_depth) > 0) & (F.col("depth") > cfg.max_depth)
+        )
+        # pre_ok before the robots verdict exists (feeds the robots
+        # cache-fill host filter)...
+        self._x_pre_static = (
+            ~F.col("__url_bad") & ~self._x_depth_bad & F.col("__static_kind").isNull()
+        )
+        if cfg.ignore_robots_txt:
+            self._sel_sk.append(F.lit(None).cast("string").alias("__robots_kind"))
+            self._x_pre_ok = self._x_pre_static
+        else:
+            # ...and the post-join projection that folds the robots verdict
+            # + helper-column drop into one select
+            self._sel_sk_robots = [
+                *self._sk_carry,
+                self.robots_kind_fn(
+                    F.col("robots_body"), F.col("path_query"),
+                    F.coalesce("fetch_failed", F.lit(False)), F.col("method"),
+                ).alias("__robots_kind"),
+            ]
+            self._x_pre_ok = self._x_pre_static & F.col("__robots_kind").isNull()
+        self._x_checkable = (
+            F.lit(not cfg.allow_url_revisit)
+            & ~F.coalesce(F.col("skip_seen_check"), F.lit(False))
+            # quirk colly.go:794-796: non-GET with nil body skips the check
+            & ((F.col("method") == GET) | F.col("__body_notnull"))
+        )
+        flag_a = self._x_pre_ok & ~self._x_checkable
+        flag_b = self._x_pre_ok & self._x_checkable & ~F.col("__seen_prev")
+        self._x_flags = flag_a | flag_b
+        wprior = (
+            Window.partitionBy("url_hash")
+            .orderBy(*ORDER_COLS)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        self._x_prior = F.coalesce(
+            F.sum(self._x_flags.cast("long")).over(wprior), F.lit(0)
+        )
+        self._x_dup = self._x_checkable & (F.col("__prior_marked") > 0)
+        self._x_eligible = self._x_flags & ~self._x_dup
+        self._x_tokens_map = sched_op.tokens_map_expr(cfg)
+
+        # ---- fetch phase ----
+        self._x_hdr_abort = _req_hdr_abort_match(cfg) if hdr_on else None
+        self._disp_cols = [f.name for f in schemas.FRONTIER.fields] + ["fetch_seq"]
+        if hdr_on:
+            self._disp_cols.append("__hdr_abort")
+        hfc = F.col("__hdr_abort")
+        final0 = F.coalesce(F.col("final_url"), F.col("canon_url"))
+        cyc0 = F.coalesce(F.col("is_cycle"), F.lit(False))
+        if hdr_on:
+            # header-aborted requests never reach Client.Do
+            # (http_backend.go:215-222): no redirect hops followed or
+            # seen-marked, no chain cookies, no response — only the
+            # politeness slot + delay are spent
+            self._sel_fetch1 = [
+                *self._disp_cols,
+                F.when(hfc, F.col("canon_url")).otherwise(final0).alias("final_url"),
+                F.when(hfc, F.lit(None).cast("array<string>"))
+                .otherwise(F.col("hops")).alias("hops"),
+                F.when(hfc, F.lit(False)).otherwise(cyc0).alias("is_cycle"),
+                F.when(hfc, F.lit(None).cast("string"))
+                .otherwise(F.col("abort_kind")).alias("abort_kind"),
+            ]
+        else:
+            self._sel_fetch1 = [
+                *self._disp_cols,
+                final0.alias("final_url"), F.col("hops"),
+                cyc0.alias("is_cycle"), F.col("abort_kind"),
+            ]
+        self._after1 = self._disp_cols + ["final_url", "hops", "is_cycle", "abort_kind"]
+        eff0 = F.when(
+            F.col("abort_idx").isNotNull(),
+            F.when(F.col("abort_idx") == 0, F.col("canon_url")).otherwise(
+                F.element_at("hops", F.col("abort_idx").cast("int"))
+            ),
+        ).otherwise(F.col("final_url"))
+        ak0 = F.when(
+            F.col("abort_idx").isNotNull(), F.lit("AlreadyVisited")
+        ).otherwise(F.col("abort_kind"))
+        if hdr_on:
+            # ErrAbortedBeforeRequest is the actual sentinel Do returns for
+            # a header-stage abort (distinct from the OnRequest-stage
+            # "AbortedBeforeRequest" kind, which never dispatches at all);
+            # the null __effective_url keeps the page join from serving a
+            # response that was never requested
+            eff0 = F.when(hfc, F.lit(None).cast("string")).otherwise(eff0)
+            ak0 = F.when(hfc, F.lit("ErrAbortedBeforeRequest")).otherwise(ak0)
+        self._sel_fetch2 = [
+            *self._after1, "abort_idx",
+            eff0.alias("__effective_url"), ak0.alias("__abort_kind2"),
+        ]
+        self._after_rp = self._after1 + [
+            "abort_idx", "__effective_url", "__abort_kind2", "fetch_partition",
+        ]
+        # hop-explode projection + the hop seen-partition key (same
+        # partition-key formula as the candidate side — hop hashes must
+        # land in the same seen bucket / Bloom partition as a later
+        # resubmission of the hop URL, or dedup false-negatives)
+        self._sel_hops = [
+            "fetch_seq", "abort_kind", F.size("hops").alias("n_hops"),
+            F.posexplode_outer("hops").alias("hop_idx", "hop_url"),
+        ]
+        self._x_hop_hash = F.xxhash64("hop_url", F.lit(b""))
+        self._x_hop_dh = F.pmod(
+            F.xxhash64(self.url_parts_udf("hop_url").getField("domain")),
+            F.lit(cfg.seen_bloom_partitions),
+        ).cast("int")
+
+        # static page-side frame for the X1 content join
+        page_extra = (
+            [
+                F.col("domain").alias("page_domain"),
+                F.col("set_cookie").alias("page_set_cookie"),
+                F.col("require_cookie").alias("page_require_cookie"),
+            ]
+            if self._n_cookie_pages
+            else []
+        )
+        page_names = [
+            "page_status", "page_content_type", "page_body", "page_base_href",
+            "serve_delay_ms",
+        ]
+        if self._n_cookie_pages:
+            page_names += ["page_domain", "page_set_cookie", "page_require_cookie"]
+        if self._n_hdr_pages:
+            page_extra = page_extra + [F.col("require_header").alias("page_require_hdr")]
+            page_names.append("page_require_hdr")
+        self._page_side = self.pages.select(
+            F.col("url").alias("__pu"),
+            F.col("status").alias("page_status"),
+            F.col("content_type").alias("page_content_type"),
+            F.col("body").alias("page_body"),
+            F.col("base_href").alias("page_base_href"),
+            F.col("serve_delay_ms").alias("serve_delay_ms"),
+            *page_extra,
+        )
+        self._page_names = page_names
+
+        # post-page-join projections: page_status rewrites (require_header /
+        # require_cookie -> 403), the body cap, the fetch-time model and the
+        # cookie fast-path expressions, folded into at most two selects
+        status_x = F.col("page_status")
+        self._x_hdr_fail = None
+        if self._n_hdr_pages:
+            # require_header gate ("Name=value", split at the FIRST '='):
+            # the merged request headers must carry it or the page serves
+            # 403 — evaluated on real responses only (never on aborted
+            # chains, matching the simulator's page/abort guard)
+            _hname = F.substring_index("page_require_hdr", "=", 1)
+            _hwant = F.expr(
+                "substring(page_require_hdr, instr(page_require_hdr, '=') + 1)"
+            )
+            self._x_hdr_fail = (
+                F.col("page_require_hdr").isNotNull()
+                & F.col("__abort_kind2").isNull()
+                & ~F.coalesce(
+                    F.element_at(_merged_headers_col(cfg), _hname) == _hwant,
+                    F.lit(False),
+                )
+            )
+            status_x = F.when(self._x_hdr_fail, F.lit(403)).otherwise(status_x)
+        hops_c = F.coalesce("hops", F.array().cast("array<string>"))
+        self._cookie_fast = self._n_cookie_pages and self._cookie_set_map is not None
+        self._x_cookie_fail = None
+        if self._cookie_fast:
+            # U3 fast path (see __init__): setter pages as literal map
+            # columns — src/chain cookie resolution is pure expressions
+            # inside the existing fetch plan, zero extra joins per round.
+            set_map = _lit_map(self._cookie_set_map)
+            resp_len = F.greatest(
+                F.lit(0),
+                F.when(F.col("abort_idx").isNotNull(), F.col("abort_idx"))
+                .when(F.col("abort_kind").isNotNull(), F.size(hops_c))
+                .otherwise(F.size(hops_c) - 1),
+            ).cast("int")
+            # guard the literal-map lookup: only redirect sources can
+            # contribute a chain cookie, and map-literal element_at is a
+            # linear scan — unguarded it costs O(|setters|) per ROW
+            src_possible = (F.size(hops_c) > 0) | F.col("abort_kind").isNotNull()
+            self._x_src_ck = F.when(
+                src_possible, F.element_at(set_map, F.col("canon_url"))
+            )
+            self._x_chain_hops = F.slice(hops_c, F.lit(1), resp_len)
+            chain = F.filter(
+                F.transform("__chain_hops", lambda h: F.element_at(set_map, h)),
+                lambda x: x.isNotNull(),
+            )
+            req = F.col("page_require_cookie")
+            has = (
+                F.coalesce(F.array_contains("__jar", req), F.lit(False))
+                | F.coalesce(F.array_contains(chain, req), F.lit(False))
+                | ((F.size(hops_c) > 0)
+                   & F.coalesce(F.col("__src_ck") == req, F.lit(False)))
+            )
+            self._x_cookie_fail = req.isNotNull() & ~has
+            status_x = F.when(self._x_cookie_fail, F.lit(403)).otherwise(status_x)
+        body_x = (
+            # X1 body cap (http_backend.go:235-237 io.LimitReader): applied
+            # at the fetch seam, before parse and before the cache
+            # write-back, so every downstream consumer sees the capped body
+            F.expr(f"substring(page_body, 1, {int(cfg.max_body_size)})")
+            if cfg.max_body_size > 0
+            else F.col("page_body")
+        )
+        self._x_status_final = status_x
+        self._x_body_final = body_x
+        self._x_fetch_ms = fetch_ms_col(cfg)
+
+        # X5 proxy rotation: deterministic round-robin by dispatch order
+        # (proxy/proxy.go:31-38's atomic counter restated as fetch_seq % n)
+        if cfg.proxies:
+            self._x_proxy = F.element_at(
+                F.array(*[F.lit(p) for p in cfg.proxies]),
+                (F.pmod(F.col("fetch_seq"), F.lit(len(cfg.proxies))) + 1).cast("int"),
+            )
+        else:
+            self._x_proxy = F.lit(None).cast("string")
+        self._x_aborted = F.col("__abort_kind2").isNotNull()
+        self._x_status0 = F.coalesce("page_status", F.lit(0))
+
+        # ---- parse phase ----
+        self._sel_parsed = [
+            "fetch_seq", "depth", "ctx", "__effective_url", "url_hash",
+            F.explode("__m").alias("m"),
+        ]
+        self._sel_children = [
+            F.col("m.value").alias("url_raw"),
+            (F.col("depth") + 1).alias("depth"),
+            F.lit(GET).alias("method"),
+            F.lit(None).cast("binary").alias("body"),
+            # Request.Visit passes hdr=nil (request.go:122-124): children
+            # always fall back to collector defaults
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.col("ctx").alias("ctx"),
+            F.col("__effective_url").alias("parent_url"),
+            F.col("fetch_seq").alias("parent_seq"),
+            F.col("m.sel_idx").alias("sel_idx"),
+            F.col("m.elem_idx").alias("elem_idx"),
+            F.col("m.elem_idx").alias("link_idx"),
+            F.lit(None).cast("boolean").alias("skip_seen_check"),
+            F.lit(0).alias("retries"),
+        ]
+        self._img_side = self.images.select(
+            F.col("image_id").alias("__iid"), "bytes", "w", "h", "fmt",
+            F.col("caption").alias("caption_ref"), "phash",
+        )
+
+        # fully-assembled post-page-join projection lists (the fused
+        # replacements for the former per-round withColumn chains); the
+        # legacy join-based cookie path (setter set > 10k) keeps the
+        # original per-round construction — it is the rare configuration
+        page_keep = [
+            status_x.alias("page_status"), "page_content_type",
+            body_x.alias("page_body"), "page_base_href", "serve_delay_ms",
+        ]
+        tail_cols = [
+            self._x_fetch_ms.alias("fetch_ms"),
+            F.lit(False).alias("__cache_hit"),
+        ]
+        if self._n_hdr_pages:
+            tail_cols.insert(0, self._x_hdr_fail.alias("__hdr_fail"))
+        after3: list[str] = list(self._after_rp) + [
+            "page_status", "page_content_type", "page_body", "page_base_href",
+            "serve_delay_ms",
+        ]
+        if self._cookie_fast:
+            self._sel_fetch3a = [
+                *self._after_rp, *self._page_names,
+                self._x_src_ck.alias("__src_ck"),
+                self._x_chain_hops.alias("__chain_hops"),
+            ]
+            self._sel_fetch3b = [
+                *self._after_rp, *page_keep,
+                "page_domain", "page_set_cookie", "page_require_cookie",
+                *(["page_require_hdr"] if self._n_hdr_pages else []),
+                "__src_ck", "__chain_hops",
+                self._x_cookie_fail.alias("__cookie_fail"),
+                *tail_cols,
+            ]
+            after3 += [
+                "page_domain", "page_set_cookie", "page_require_cookie",
+                *(["page_require_hdr"] if self._n_hdr_pages else []),
+                "__src_ck", "__chain_hops", "__cookie_fail",
+            ]
+        elif not self._n_cookie_pages:
+            self._sel_fetch3 = [
+                *self._after_rp, *page_keep,
+                *(["page_require_hdr"] if self._n_hdr_pages else []),
+                *tail_cols,
+            ]
+            if self._n_hdr_pages:
+                after3.append("page_require_hdr")
+        if self._n_hdr_pages:
+            after3.append("__hdr_fail")
+        after3 += ["fetch_ms", "__cache_hit"]
+        self._after3 = after3
+
+        # extraction: runs INSIDE the one persisted fetch frame; bodies
+        # stay out of the round cache unless the response cache needs the
+        # write-back (they are the ~100 TB column at scale)
+        parse_ok = (
+            ~self._x_aborted
+            & F.col("page_status").isNotNull()
+            & ((self._x_status0 < 300) | F.lit(cfg.parse_http_error_response))
+        )
+        # X4 CheckHead (colly.go:537-544): a failing HEAD suppresses the GET
+        # entirely; under ParseHTTPErrorResponse an error STATUS does not
+        # fail the HEAD (colly.go:1320-1323)
+        self._x_head_ok = (
+            F.col("page_status").isNotNull()
+            & ((self._x_status0 < 300) | F.lit(cfg.parse_http_error_response))
+            & ~self._x_aborted
+        )
+        if cfg.check_head:
+            parse_ok = parse_ok & self._x_head_ok
+        self._x_m = self.extract_udf(
+            F.when(parse_ok, F.col("page_body")),
+            "page_content_type", "__effective_url", "page_base_href",
+        )
+        self._sel_fetch4 = [
+            *(c for c in after3 if cfg.fetch_cache_enabled or c != "page_body"),
+            self._x_m.alias("__m"),
+        ]
+
+        # ---- output projections (per-round F.lit(round) appended later) --
+        self._sel_visits = [
+            "fetch_seq", "enqueue_seq",
+            F.col("canon_url").alias("url"), "url_hash", "domain", "depth",
+            self._x_status0.alias("status"), "fetch_ms",
+            self._x_proxy.alias("proxy"),
+        ]
+        self._x_fetch_err = (
+            F.when(self._x_aborted, F.col("__abort_kind2"))
+            .when(F.col("page_status").isNull(), "ErrFetch")
+            .otherwise(F.concat(F.lit("HTTPError"), self._x_status0))
+        )
+        # U3 jar-update expressions (fast path): setter entries as per-row
+        # array expressions — one explode inside the cached frame
+        if self._cookie_fast:
+            self._x_src_responded = (
+                (F.size(hops_c) > 0) | F.col("abort_kind").isNotNull()
+            )
+            final_set_ok = (
+                ~self._x_aborted
+                & ~F.col("__cookie_fail")
+                & F.col("page_set_cookie").isNotNull()
+            )
+            if self._n_hdr_pages:
+                # a 403'd (header-gated) page does not set its cookie either
+                final_set_ok = final_set_ok & ~F.col("__hdr_fail")
+            _EMPTY = F.array().cast("array<struct<host:string,cookie:string>>")
+            set_map = _lit_map(self._cookie_set_map)
+            dom_map = _lit_map(self._cookie_dom_map)
+            chain_setters = F.filter(
+                F.transform(
+                    "__chain_hops",
+                    lambda h: F.struct(
+                        F.element_at(dom_map, h).alias("host"),
+                        F.element_at(set_map, h).alias("cookie"),
+                    ),
+                ),
+                lambda s: s["cookie"].isNotNull(),
+            )
+            src_entry = F.when(
+                self._x_src_responded & F.col("__src_ck").isNotNull(),
+                F.array(F.struct(F.col("domain").alias("host"),
+                                 F.col("__src_ck").alias("cookie"))),
+            ).otherwise(_EMPTY)
+            final_entry = F.when(
+                final_set_ok,
+                F.array(F.struct(F.col("page_domain").alias("host"),
+                                 F.col("page_set_cookie").alias("cookie"))),
+            ).otherwise(_EMPTY)
+            self._x_cookie_entries = F.concat(chain_setters, src_entry, final_entry)
 
     # ------------------------------------------------------------------
     def run(self, seeds: list[dict] | DataFrame, max_rounds: int | None = None) -> dict:
@@ -328,22 +758,9 @@ class Crawler:
         # (url_raw, body, ctx, parent_url) sits in one cached frame and is
         # joined back exactly once. At the 10^10 design point this is the
         # difference between sorting ~50 B/row and sorting full requests.
-        cwide = new_cands.withColumn("__p", self.url_parts_udf("url_raw"))
-        cwide = cwide.select(
-            "*", "__p.canon_url", "__p.domain", "__p.path_query"
-        ).drop("__p")
-        cwide = cwide.withColumn(
-            "url_hash",
-            F.xxhash64(F.coalesce("canon_url", F.lit("")), F.coalesce("body", F.lit(b""))),
-        )
-        cwide = cwide.withColumn("rule_idx", self.rule_idx_udf("domain"))
-        # politeness-aligned seen-partition key, shared by the url_seen
-        # insert and the Bloom probe (must match on both sides — a mismatch
-        # would turn Bloom false negatives into missed dedups)
-        cwide = cwide.withColumn(
-            "__dh",
-            F.pmod(F.xxhash64("domain"), F.lit(cfg.seen_bloom_partitions)).cast("int"),
-        )
+        cwide = new_cands.select(
+            "*", self.url_parts_udf("url_raw").alias("__p")
+        ).select(*self._sel_cwide)
         # one materialization of the UDF chain: every downstream branch
         # (skinny flags, robots cache-fill, verdict join-back) reads this.
         # The count() is deliberate: AQE launches the submission plan's
@@ -355,26 +772,14 @@ class Crawler:
         self._pins.append(cwide)
         cwide.count()
 
-        sk = cwide.select(
-            *ORDER_COLS,
-            "url_hash", "__dh", "domain", "path_query", "method", "depth",
-            "skip_seen_check", "rule_idx",
-            F.col("body").isNotNull().alias("__body_notnull"),
-            F.col("canon_url").isNull().alias("__url_bad"),
-            static_filter_kind(cfg, F.col("canon_url"), F.col("domain")).alias(
-                "__static_kind"
-            ),
-            _abort_match(cfg, F.col("canon_url")).alias("__abort"),
-        )
-        depth_bad = (
-            (F.lit(cfg.max_depth) > 0) & (F.col("depth") > cfg.max_depth)
-        )
-        pre_ok = ~F.col("__url_bad") & ~depth_bad & F.col("__static_kind").isNull()
+        sk = cwide.select(*self._sel_sk)
+        depth_bad = self._x_depth_bad
+        pre_ok = self._x_pre_ok
 
         # F6 robots: fill cache from hosts surviving the cheap filters
         if not cfg.ignore_robots_txt:
             new_cache = robots_op.fill_robots_cache(
-                sk.where(pre_ok).select("domain"),
+                sk.where(self._x_pre_static).select("domain"),
                 self.store.get("robots_cache"),
                 self.robots_fixture,
                 rnd,
@@ -385,17 +790,7 @@ class Crawler:
                 F.broadcast(cache.select("host", "robots_body", "fetch_failed")),
                 sk.domain == F.col("host"),
                 "left",
-            ).drop("host")
-            sk = sk.withColumn(
-                "__robots_kind",
-                self.robots_kind_fn(
-                    F.col("robots_body"), F.col("path_query"),
-                    F.coalesce("fetch_failed", F.lit(False)), F.col("method"),
-                ),
-            ).drop("robots_body", "fetch_failed")
-            pre_ok = pre_ok & F.col("__robots_kind").isNull()
-        else:
-            sk = sk.withColumn("__robots_kind", F.lit(None).cast("string"))
+            ).select(*self._sel_sk_robots)
 
         # F5 seen: cross-round flag + intra-batch first-wins (window by hash).
         # url_seen appends are globally UNIQUE (first-mark invariant below),
@@ -455,27 +850,14 @@ class Crawler:
             sk = pos.unionByName(neg).drop("__maybe")
         else:
             sk = seen_probe(sk, seen_base, seen_tail)
-        checkable = (
-            F.lit(not cfg.allow_url_revisit)
-            & ~F.coalesce(F.col("skip_seen_check"), F.lit(False))
-            # quirk colly.go:794-796: non-GET with nil body skips the check
-            & ((F.col("method") == GET) | F.col("__body_notnull"))
-        )
-        flag_a = pre_ok & ~checkable  # always-eligible (skip seen check)
-        flag_b = pre_ok & checkable & ~F.col("__seen_prev")
-        wprior = (
-            Window.partitionBy("url_hash")
-            .orderBy(*ORDER_COLS)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        sk = sk.withColumn("__prior_marked",
-                           F.coalesce(F.sum((flag_a | flag_b).cast("long")).over(wprior), F.lit(0)))
-        dup = checkable & (F.col("__prior_marked") > 0)
-        eligible = (flag_a | flag_b) & ~dup
-        sk = sk.withColumn("__eligible", eligible)
-
+        checkable = self._x_checkable
+        sk = sk.select("*", self._x_prior.alias("__prior_marked"))
         # global submission order -> dense enqueue_seq (colly Request.ID)
-        sk = sk.withColumn("__abort_elig", F.col("__eligible") & F.col("__abort"))
+        sk = sk.select(
+            "*",
+            self._x_eligible.alias("__eligible"),
+            (self._x_eligible & F.col("__abort")).alias("__abort_elig"),
+        )
         sk, tot = with_ordered_counts(sk, ORDER_COLS, ["__eligible", "__abort_elig"],
                                       num_partitions=cfg.shuffle_partitions,
                                       return_totals=True, pins=self._pins)
@@ -518,16 +900,13 @@ class Crawler:
             .when(F.col("__abort"), "AbortedBeforeRequest")
             .otherwise(F.lit(None).cast("string"))
         )
-        verdict = (
-            sk.withColumn("__accepted", accepted)
-            .withColumn("__marked", marked)
-            .withColumn("error_kind", error_kind)
-            .withColumn(
-                "enqueue_seq",
-                F.when(enqueued, el_before + F.lit(built)).cast("long"),
-            )
-            .select(*ORDER_COLS, "enqueue_seq", "error_kind", "__accepted",
-                    "__marked", "rule_idx", "domain")
+        verdict = sk.select(
+            *ORDER_COLS,
+            F.when(enqueued, el_before + F.lit(built)).cast("long").alias("enqueue_seq"),
+            error_kind.alias("error_kind"),
+            accepted.alias("__accepted"),
+            marked.alias("__marked"),
+            "rule_idx", "domain",
         )
         # the only wide operation of the phase: join the skinny verdicts
         # back onto the cached payload by the unique submission key (AQE
@@ -610,7 +989,7 @@ class Crawler:
             or verdict.where("__accepted")
             .groupBy("rule_idx", "domain")
             .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") > sched_op.tokens_map_expr(cfg))
+            .where(F.col("__n") > self._x_tokens_map)
             .isEmpty()
         )
         if fast_fifo:
@@ -682,14 +1061,9 @@ class Crawler:
         # takes effect only on MISS rows (colly's cache returns before Do
         # and its OnRequestHeaders hook).
         if cfg.abort_request_header_filters:
-            dispatch = dispatch.withColumn(
-                "__hdr_abort", _req_hdr_abort_match(cfg)
-            )
-            hdr_flag = F.col("__hdr_abort")
-        else:
-            hdr_flag = F.lit(False)
+            dispatch = dispatch.select("*", self._x_hdr_abort.alias("__hdr_abort"))
         hit = None
-        disp_cols = dispatch.columns
+        disp_cols = self._disp_cols
         if cfg.fetch_cache_enabled:
             wcache = Window.partitionBy("url_hash").orderBy(F.desc("fetched_round"))
             cache_tbl = self.store.get("fetch_cache")
@@ -722,53 +1096,23 @@ class Crawler:
         rc = self.redirects
         if self._n_redirects < 1_000_000:
             rc = F.broadcast(rc)
-        d = dispatch.join(rc, dispatch.canon_url == rc.src, "left").drop("src")
-        d = d.withColumn("final_url", F.coalesce("final_url", F.col("canon_url")))
-        d = d.withColumn("is_cycle", F.coalesce("is_cycle", F.lit(False)))
-        if cfg.abort_request_header_filters:
-            # header-aborted requests never reach Client.Do
-            # (http_backend.go:215-222): no redirect hops followed or
-            # seen-marked, no chain cookies, no response — only the
-            # politeness slot + delay are spent (the deferred sleep runs)
-            d = (
-                d.withColumn(
-                    "final_url",
-                    F.when(hdr_flag, F.col("canon_url")).otherwise(F.col("final_url")),
-                )
-                .withColumn(
-                    "hops",
-                    F.when(hdr_flag, F.lit(None).cast("array<string>"))
-                    .otherwise(F.col("hops")),
-                )
-                .withColumn(
-                    "is_cycle",
-                    F.when(hdr_flag, F.lit(False)).otherwise(F.col("is_cycle")),
-                )
-                .withColumn(
-                    "abort_kind",
-                    F.when(hdr_flag, F.lit(None).cast("string"))
-                    .otherwise(F.col("abort_kind")),
-                )
-            )
+        # one projection folds the identity defaults + the header-abort
+        # overrides (header-aborted requests never reach Client.Do,
+        # http_backend.go:215-222: no hops followed or seen-marked, no chain
+        # cookies, no response — only the politeness slot + delay are spent)
+        d = dispatch.join(rc, dispatch.canon_url == rc.src, "left").select(
+            *self._sel_fetch1
+        )
         # hop conflict probe reads the store INCLUDING this round's staged
         # candidate marks (get_parts sees the pending tail)
         seen_base_now, seen_tail_now = self.store.get_parts("url_seen")
         hops = (
-            d.select(
-                "fetch_seq", "abort_kind", F.size("hops").alias("n_hops"),
-                F.posexplode_outer("hops").alias("hop_idx", "hop_url"),
-            )
+            d.select(*self._sel_hops)
             .where(F.col("hop_url").isNotNull())
-            .withColumn("hop_hash", F.xxhash64("hop_url", F.lit(b"")))
-            # same partition-key formula as the candidate side — hop hashes
-            # must land in the same seen bucket / Bloom partition as a later
-            # resubmission of the hop URL, or dedup false-negatives
-            .withColumn(
-                "__hop_dh",
-                F.pmod(
-                    F.xxhash64(self.url_parts_udf("hop_url").getField("domain")),
-                    F.lit(cfg.seen_bloom_partitions),
-                ).cast("int"),
+            .select(
+                "*",
+                self._x_hop_hash.alias("hop_hash"),
+                self._x_hop_dh.alias("__hop_dh"),
             )
         )
         whop = (
@@ -812,37 +1156,9 @@ class Crawler:
                 ),
                 rnd,
             )
-        d = d.join(aborts, "fetch_seq", "left")
-        d = d.withColumn(
-            "__effective_url",
-            F.when(
-                F.col("abort_idx").isNotNull(),
-                F.when(F.col("abort_idx") == 0, F.col("canon_url")).otherwise(
-                    F.element_at("hops", F.col("abort_idx").cast("int"))
-                ),
-            ).otherwise(F.col("final_url")),
-        )
-        d = d.withColumn(
-            "__abort_kind2",
-            F.when(F.col("abort_idx").isNotNull(), F.lit("AlreadyVisited")).otherwise(
-                F.col("abort_kind")
-            ),
-        )
-        if cfg.abort_request_header_filters:
-            # ErrAbortedBeforeRequest is the actual sentinel Do returns for
-            # a header-stage abort (distinct from the OnRequest-stage
-            # "AbortedBeforeRequest" kind, which never dispatches at all);
-            # the null __effective_url keeps the page join from serving a
-            # response that was never requested
-            d = d.withColumn(
-                "__effective_url",
-                F.when(hdr_flag, F.lit(None).cast("string"))
-                .otherwise(F.col("__effective_url")),
-            ).withColumn(
-                "__abort_kind2",
-                F.when(hdr_flag, F.lit("ErrAbortedBeforeRequest"))
-                .otherwise(F.col("__abort_kind2")),
-            )
+        # one projection folds __effective_url/__abort_kind2 (incl. the
+        # header-abort sentinel overrides) onto the aborts join
+        d = d.join(aborts, "fetch_seq", "left").select(*self._sel_fetch2)
 
         # S4: salt+repartition the NARROW dispatch batch (a real fetcher
         # would run right here as a mapInPandas: urls in, bodies out), stamp
@@ -850,132 +1166,79 @@ class Crawler:
         # page bodies are the ~100 TB side and must never ride an extra
         # shuffle just to get balanced fetch partitions
         target = max(64, n_dispatch // max(cfg.shuffle_partitions, 1) or 1)
-        d = sched_op.salted_repartition(d, cfg.shuffle_partitions, target)
-        d = d.withColumn("fetch_partition", F.spark_partition_id())
-
-        page_extra = (
-            [
-                F.col("domain").alias("page_domain"),
-                F.col("set_cookie").alias("page_set_cookie"),
-                F.col("require_cookie").alias("page_require_cookie"),
-            ]
-            if self._n_cookie_pages
-            else []
-        )
-        if self._n_hdr_pages:
-            page_extra = page_extra + [
-                F.col("require_header").alias("page_require_hdr")
-            ]
-        page_cols = self.pages.select(
-            F.col("url").alias("__pu"),
-            F.col("status").alias("page_status"),
-            F.col("content_type").alias("page_content_type"),
-            F.col("body").alias("page_body"),
-            F.col("base_href").alias("page_base_href"),
-            F.col("serve_delay_ms").alias("serve_delay_ms"),
-            *page_extra,
+        d = sched_op.salted_repartition(
+            d, cfg.shuffle_partitions, target, stamp_partition_col="fetch_partition"
         )
         d = d.join(
-            page_cols, F.col("__effective_url") == F.col("__pu"), "left"
-        ).drop("__pu")
+            self._page_side, F.col("__effective_url") == F.col("__pu"), "left"
+        )
 
-        if self._n_hdr_pages:
-            # require_header gate ("Name=value", split at the FIRST '='):
-            # the merged request headers must carry it or the page serves
-            # 403 — evaluated on real responses only (never on aborted
-            # chains, matching the simulator's page/abort guard)
-            _hname = F.substring_index("page_require_hdr", "=", 1)
-            _hwant = F.expr(
-                "substring(page_require_hdr, instr(page_require_hdr, '=') + 1)"
-            )
-            d = d.withColumn(
-                "__hdr_fail",
-                F.col("page_require_hdr").isNotNull()
-                & F.col("__abort_kind2").isNull()
-                & ~F.coalesce(
-                    F.element_at(_merged_headers_col(cfg), _hname) == _hwant,
-                    F.lit(False),
-                ),
-            )
-            d = d.withColumn(
-                "page_status",
-                F.when(F.col("__hdr_fail"), F.lit(403)).otherwise(
-                    F.col("page_status")
-                ),
-            )
-
+        # U3 cookie availability for the final request = the committed jar
+        # (previous rounds, host-keyed) + cookies set by this request's OWN
+        # chain responders (src + hops before the final —
+        # TestSetCookieRedirect's set-then-check flow). require_cookie /
+        # require_header are evaluated on final pages only; a failing check
+        # serves 403. All page_status rewrites, the body cap, the
+        # fetch-time model and the cookie fast-path expressions are
+        # prebuilt (_prebuild) and fold into at most two projections here.
         setters_chain = None
-        if self._n_cookie_pages:
-            # U3: cookie availability for the final request = the committed
-            # jar (previous rounds, host-keyed) + cookies set by this
-            # request's OWN chain responders (src + hops before the final —
-            # TestSetCookieRedirect's set-then-check flow). require_cookie
-            # is evaluated on final pages only; a failing check serves 403.
+        if self._cookie_fast:
+            d = d.select(*self._sel_fetch3a)
+            jar = F.broadcast(
+                self.store.get("cookies")
+                .groupBy("host").agg(F.collect_set("cookie").alias("__jar"))
+            )
+            d = d.join(
+                jar, F.col("page_domain") == F.col("host"), "left"
+            ).select(*self._sel_fetch3b)
+        elif not self._n_cookie_pages:
+            d = d.select(*self._sel_fetch3)
+        else:
+            # legacy join path (cookie-page set too large to enumerate as
+            # literal maps): the same semantics via broadcast joins + a
+            # per-chain groupBy — kept as the original per-round op chain
+            # (it is the rare configuration)
+            d = d.drop("__pu")
             hops_c = F.coalesce("hops", F.array().cast("array<string>"))
-            if self._cookie_set_map is not None:
-                # fast path: the setter-page set is literal map columns, so
-                # src/chain cookie resolution is pure expressions inside
-                # the existing fetch plan — zero extra joins per round.
-                # Chain responders whose response was received: hops before
-                # a dynamic abort; every hop of a statically aborted chain;
-                # all but the final hop of a completed chain.
-                set_map = _lit_map(self._cookie_set_map)
-                resp_len = F.greatest(
-                    F.lit(0),
-                    F.when(F.col("abort_idx").isNotNull(), F.col("abort_idx"))
-                    .when(F.col("abort_kind").isNotNull(), F.size(hops_c))
-                    .otherwise(F.size(hops_c) - 1),
-                ).cast("int")
-                # guard the literal-map lookup: only redirect sources can
-                # contribute a chain cookie, and map-literal element_at is a
-                # linear scan — unguarded it costs O(|setters|) per ROW
-                src_possible = (F.size(hops_c) > 0) | F.col("abort_kind").isNotNull()
+            if self._n_hdr_pages:
+                d = d.withColumn("__hdr_fail", self._x_hdr_fail)
                 d = d.withColumn(
-                    "__src_ck",
-                    F.when(src_possible, F.element_at(set_map, F.col("canon_url"))),
-                )
-                d = d.withColumn("__chain_hops", F.slice(hops_c, F.lit(1), resp_len))
-                d = d.withColumn(
-                    "__chain",
-                    F.filter(
-                        F.transform("__chain_hops", lambda h: F.element_at(set_map, h)),
-                        lambda x: x.isNotNull(),
+                    "page_status",
+                    F.when(F.col("__hdr_fail"), F.lit(403)).otherwise(
+                        F.col("page_status")
                     ),
                 )
-            else:
-                # join path (cookie-page set too large to enumerate): the
-                # same semantics via broadcast joins + a per-chain groupBy
-                cmap = F.broadcast(
-                    self.cookie_pages.where(F.col("set_cookie").isNotNull()).select(
-                        F.col("url").alias("__cu"),
-                        F.col("domain").alias("__cd"),
-                        F.col("set_cookie").alias("__cck"),
-                    )
+            cmap = F.broadcast(
+                self.cookie_pages.where(F.col("set_cookie").isNotNull()).select(
+                    F.col("url").alias("__cu"),
+                    F.col("domain").alias("__cd"),
+                    F.col("set_cookie").alias("__cck"),
                 )
-                responded = (
-                    F.when(F.col("abort_idx").isNotNull(),
-                           F.col("hop_idx") < F.col("abort_idx"))
-                    .when(F.col("abort_kind").isNotNull(), F.lit(True))
-                    .otherwise(F.col("hop_idx") < F.col("n_hops") - 1)
-                )
-                hop_ck = (
-                    hops.join(aborts, "fetch_seq", "left")
-                    .where(responded)
-                    .join(cmap, F.col("hop_url") == F.col("__cu"))
-                    .select("fetch_seq", "__cd", "__cck")
-                )
-                setters_chain = hop_ck.select(
-                    F.col("__cd").alias("host"), F.col("__cck").alias("cookie")
-                )
-                chain_agg = hop_ck.groupBy("fetch_seq").agg(
-                    F.collect_set("__cck").alias("__chain")
-                )
-                d = (
-                    d.join(cmap.drop("__cd"), F.col("canon_url") == F.col("__cu"), "left")
-                    .drop("__cu")
-                    .withColumnRenamed("__cck", "__src_ck")
-                    .join(chain_agg, "fetch_seq", "left")
-                )
+            )
+            responded = (
+                F.when(F.col("abort_idx").isNotNull(),
+                       F.col("hop_idx") < F.col("abort_idx"))
+                .when(F.col("abort_kind").isNotNull(), F.lit(True))
+                .otherwise(F.col("hop_idx") < F.col("n_hops") - 1)
+            )
+            hop_ck = (
+                hops.join(aborts, "fetch_seq", "left")
+                .where(responded)
+                .join(cmap, F.col("hop_url") == F.col("__cu"))
+                .select("fetch_seq", "__cd", "__cck")
+            )
+            setters_chain = hop_ck.select(
+                F.col("__cd").alias("host"), F.col("__cck").alias("cookie")
+            )
+            chain_agg = hop_ck.groupBy("fetch_seq").agg(
+                F.collect_set("__cck").alias("__chain")
+            )
+            d = (
+                d.join(cmap.drop("__cd"), F.col("canon_url") == F.col("__cu"), "left")
+                .drop("__cu")
+                .withColumnRenamed("__cck", "__src_ck")
+                .join(chain_agg, "fetch_seq", "left")
+            )
             jar = F.broadcast(
                 self.store.get("cookies")
                 .groupBy("host").agg(F.collect_set("cookie").alias("__jar"))
@@ -993,16 +1256,13 @@ class Crawler:
                 "page_status",
                 F.when(F.col("__cookie_fail"), F.lit(403)).otherwise(F.col("page_status")),
             ).drop("__jar", "__chain")
-        if cfg.max_body_size > 0:
-            # X1 body cap (http_backend.go:235-237 io.LimitReader): applied
-            # at the fetch seam, before parse and before the cache
-            # write-back, so every downstream consumer sees the capped body
-            d = d.withColumn(
-                "page_body",
-                F.expr(f"substring(page_body, 1, {int(cfg.max_body_size)})"),
-            )
-        d = d.withColumn("fetch_ms", fetch_ms_col(cfg))
-        d = d.withColumn("__cache_hit", F.lit(False))
+            if cfg.max_body_size > 0:
+                d = d.withColumn(
+                    "page_body",
+                    F.expr(f"substring(page_body, 1, {int(cfg.max_body_size)})"),
+                )
+            d = d.withColumn("fetch_ms", self._x_fetch_ms)
+            d = d.withColumn("__cache_hit", F.lit(False))
         if hit is not None:
             # cached responses rejoin as already-fetched rows: no redirect
             # hops, no service time (colly's cache path never reaches the
@@ -1069,37 +1329,16 @@ class Crawler:
         # run extraction INSIDE the one persisted fetch frame and drop the
         # body before caching: the parse UDF then provably runs exactly once
         # per page, and the round cache holds skinny match structs instead
-        # of page bodies (the bodies are the ~100 TB column at scale)
-        aborted = F.col("__abort_kind2").isNotNull()
-        status = F.coalesce("page_status", F.lit(0))
-        parse_ok = (
-            ~aborted
-            & F.col("page_status").isNotNull()
-            & ((status < 300) | F.lit(cfg.parse_http_error_response))
-        )
-        # X4 CheckHead (colly.go:537-544): a failing HEAD (network error,
-        # missing page, aborted chain, or error status) suppresses the GET
-        # entirely. Under ParseHTTPErrorResponse an error STATUS does not
-        # fail the HEAD — handleOnError returns nil for any status then
-        # (colly.go:1320-1323), so Visit() proceeds to the GET and parses
-        # its response like any other.
-        head_ok = (
-            F.col("page_status").isNotNull()
-            & ((status < 300) | F.lit(cfg.parse_http_error_response))
-            & ~aborted
-        )
-        if cfg.check_head:
-            parse_ok = parse_ok & head_ok
-        d = d.withColumn(
-            "__m",
-            self.extract_udf(
-                F.when(parse_ok, F.col("page_body")),
-                "page_content_type", "__effective_url", "page_base_href",
-            ),
-        )
-        # bodies stay out of the round cache — except when the response
-        # cache is on, which needs them for the write-back below
-        d = (d if cfg.fetch_cache_enabled else d.drop("page_body")).persist()
+        # of page bodies (the bodies are the ~100 TB column at scale);
+        # the __m expression and the body-dropping projection are prebuilt
+        aborted = self._x_aborted
+        status = self._x_status0
+        head_ok = self._x_head_ok
+        if self._cookie_fast or not self._n_cookie_pages:
+            d = d.select(*self._sel_fetch4).persist()
+        else:
+            d = d.withColumn("__m", self._x_m)
+            d = (d if cfg.fetch_cache_enabled else d.drop("page_body")).persist()
         if cfg.check_head:
             # HEAD takes slot 2k, its GET 2k+1: downstream consumers
             # (children's parent_seq, results, elements, retry) read the
@@ -1110,22 +1349,8 @@ class Crawler:
                 .withColumn("fetch_seq", F.lit(2) * F.col("__fs0") + F.lit(1))
             )
 
-        # X5 proxy rotation: deterministic round-robin by dispatch order
-        # (proxy/proxy.go:31-38's atomic counter restated as fetch_seq % n)
-        if cfg.proxies:
-            proxy_col = F.element_at(
-                F.array(*[F.lit(p) for p in cfg.proxies]),
-                (F.pmod(F.col("fetch_seq"), F.lit(len(cfg.proxies))) + 1).cast("int"),
-            )
-        else:
-            proxy_col = F.lit(None).cast("string")
         def _visits_of(frame: DataFrame) -> DataFrame:
-            return frame.select(
-                "fetch_seq", "enqueue_seq",
-                F.col("canon_url").alias("url"), "url_hash", "domain", "depth",
-                status.alias("status"), "fetch_ms", proxy_col.alias("proxy"),
-                F.lit(rnd).alias("round"),
-            )
+            return frame.select(*self._sel_visits, F.lit(rnd).alias("round"))
 
         if cfg.check_head:
             visits = _visits_of(
@@ -1151,9 +1376,7 @@ class Crawler:
             "enqueue_seq",
             F.col("canon_url").alias("url"),
             "depth",
-            F.when(aborted, F.col("__abort_kind2"))
-            .when(F.col("page_status").isNull(), "ErrFetch")
-            .otherwise(F.concat(F.lit("HTTPError"), status)).alias("error_kind"),
+            self._x_fetch_err.alias("error_kind"),
             status.alias("status"),
             F.lit(rnd).alias("round"),
         )
@@ -1174,35 +1397,11 @@ class Crawler:
                 # a 403'd (header-gated) page does not set its cookie either
                 final_set_ok = final_set_ok & ~F.col("__hdr_fail")
             if self._cookie_set_map is not None:
-                # fast path: setter entries as per-row array expressions —
-                # one explode inside the cached frame, no unions/joins
-                _EMPTY = F.array().cast("array<struct<host:string,cookie:string>>")
-                set_map = _lit_map(self._cookie_set_map)
-                dom_map = _lit_map(self._cookie_dom_map)
-                chain_setters = F.filter(
-                    F.transform(
-                        "__chain_hops",
-                        lambda h: F.struct(
-                            F.element_at(dom_map, h).alias("host"),
-                            F.element_at(set_map, h).alias("cookie"),
-                        ),
-                    ),
-                    lambda s: s["cookie"].isNotNull(),
-                )
-                src_entry = F.when(
-                    src_responded & F.col("__src_ck").isNotNull(),
-                    F.array(F.struct(F.col("domain").alias("host"),
-                                     F.col("__src_ck").alias("cookie"))),
-                ).otherwise(_EMPTY)
-                final_entry = F.when(
-                    final_set_ok,
-                    F.array(F.struct(F.col("page_domain").alias("host"),
-                                     F.col("page_set_cookie").alias("cookie"))),
-                ).otherwise(_EMPTY)
+                # fast path: setter entries as per-row array expressions
+                # (prebuilt) — one explode inside the cached frame, no
+                # unions/joins
                 new_ck = (
-                    d.select(F.explode(
-                        F.concat(chain_setters, src_entry, final_entry)
-                    ).alias("s"))
+                    d.select(F.explode(self._x_cookie_entries).alias("s"))
                     .select("s.host", "s.cookie")
                     .distinct()
                     .join(self.store.get("cookies").select("host", "cookie"),
@@ -1257,26 +1456,9 @@ class Crawler:
         # matches were already extracted into d's cached __m column (exactly
         # one parse per page); exploding the skinny structs is cheap enough
         # to do per consumer
-        parsed = d.select(
-            "fetch_seq", "depth", "ctx", "__effective_url", "url_hash",
-            F.explode("__m").alias("m"),
-        )
+        parsed = d.select(*self._sel_parsed)
         children = parsed.where(F.col("m.kind") == "link").select(
-            F.col("m.value").alias("url_raw"),
-            (F.col("depth") + 1).alias("depth"),
-            F.lit(GET).alias("method"),
-            F.lit(None).cast("binary").alias("body"),
-            # Request.Visit passes hdr=nil (request.go:122-124): children
-            # always fall back to collector defaults
-            F.lit(None).cast("map<string,string>").alias("headers"),
-            F.col("ctx").alias("ctx"),
-            F.col("__effective_url").alias("parent_url"),
-            F.col("fetch_seq").alias("parent_seq"),
-            F.col("m.sel_idx").alias("sel_idx"),
-            F.col("m.elem_idx").alias("elem_idx"),
-            F.col("m.elem_idx").alias("link_idx"),
-            F.lit(None).cast("boolean").alias("skip_seen_check"),
-            F.lit(0).alias("retries"),
+            *self._sel_children
         )
         if cfg.retry_on_status:
             # E4 Request.Retry (request.go:157-163): a failed fetch with a
@@ -1348,10 +1530,7 @@ class Crawler:
             F.col("m.value").alias("image_id"),
             F.col("m.extra").alias("caption_parsed"),
         )
-        img = self.images.select(
-            F.col("image_id").alias("__iid"), "bytes", "w", "h", "fmt",
-            F.col("caption").alias("caption_ref"), "phash",
-        )
+        img = self._img_side
         # decode once per DISTINCT image_id (pages share logos/thumbnails —
         # per-reference decoding redoes identical pixel work hundreds of
         # times), then join the skinny verdicts back onto the refs. The
@@ -1492,6 +1671,7 @@ def seen_probe(
     enough that the optimizer broadcast-joins it. url_seen rows are unique
     (first-mark invariant in ``_run_round``), so these flag joins cannot
     fan out. Either part may be None (empty)."""
+    cols = df.columns
     flags = []
     for part, flag in ((base, "__in_base"), (tail, "__in_tail")):
         if part is None:
@@ -1506,7 +1686,9 @@ def seen_probe(
     seen = F.lit(False)
     for flag in flags:
         seen = seen | F.coalesce(F.col(flag), F.lit(False))
-    return df.withColumn(out_col, seen).drop(*flags)
+    # single projection folds the flag coalesce AND the helper-column drop
+    # (withColumn + drop would each re-analyze the join tree)
+    return df.select(*cols, seen.alias(out_col))
 
 
 def _merged_headers_col(cfg: CrawlConfig):

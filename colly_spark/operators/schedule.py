@@ -90,24 +90,32 @@ def dispatch_seq_map(
 
 
 def salted_repartition(
-    batch: DataFrame, num_partitions: int, target_per_bucket: int
+    batch: DataFrame,
+    num_partitions: int,
+    target_per_bucket: int,
+    stamp_partition_col: str | None = None,
 ) -> DataFrame:
     """Domain-keyed repartition with explicit skew splitting: a domain with
     cnt rows is split into ceil(cnt/target) salt buckets keyed by url_hash,
     so no single partition carries a hot domain's whole fetch budget
     (north rule: max executor budget <= 2x median). AQE skew-join handling
-    is the backstop; this makes the fetch stage balanced by construction."""
+    is the backstop; this makes the fetch stage balanced by construction.
+
+    ``stamp_partition_col`` folds a ``spark_partition_id()`` stamp into the
+    salt-dropping projection (one select instead of a drop + withColumn)."""
     w = Window.partitionBy("domain")
-    out = (
-        batch.withColumn("__cnt", F.count(F.lit(1)).over(w))
-        .withColumn(
-            "__salt",
-            F.pmod(
-                F.col("url_hash"),
-                F.greatest(F.lit(1), F.ceil(F.col("__cnt") / F.lit(target_per_bucket))),
-            ).cast("int"),
-        )
-        .repartition(num_partitions, "domain", "__salt")
-        .drop("__cnt", "__salt")
+    salt = F.pmod(
+        F.col("url_hash"),
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.count(F.lit(1)).over(w) / F.lit(target_per_bucket)),
+        ),
+    ).cast("int")
+    out = batch.select("*", salt.alias("__salt")).repartition(
+        num_partitions, "domain", "__salt"
     )
-    return out
+    if stamp_partition_col:
+        return out.select(
+            *batch.columns, F.spark_partition_id().alias(stamp_partition_col)
+        )
+    return out.select(*batch.columns)
