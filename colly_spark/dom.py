@@ -8,18 +8,26 @@ parse via the stdlib ``html.parser``, strict XML via ``ET.fromstring``) and
 evaluates both selector languages over it:
 
 - CSS subset: tag, ``*``, ``.class``, ``#id``, ``[attr]``, ``[attr=val]``,
-  ``[attr~=val]``, ``[attr^=]``/``[attr$=]``/``[attr*=]``, compounds
-  (``a.cls[href]``), descendant (space), child (``>``), adjacent-sibling
-  (``+``) and general-sibling (``~``) combinators, and selector groups
-  (``,``). Matching backtracks over candidate ancestors/siblings (a chain
-  like ``x > y z`` matches via an OUTER y when the nearest y's parent is
-  not x — same as real CSS engines). Matches are returned in document
-  order, which is what gives HTMLElement.Index its meaning
-  (htmlelement.go:38).
+  ``[attr~=val]``, ``[attr^=]``/``[attr$=]``/``[attr*=]``, the structural
+  pseudo-classes ``:first-child``/``:last-child``/``:nth-child(an+b)`` and
+  ``:not(compound)``, compounds (``a.cls[href]:first-child``), descendant
+  (space), child (``>``), adjacent-sibling (``+``) and general-sibling
+  (``~``) combinators, and selector groups (``,``). Any other pseudo-class
+  raises ``CssSelectorError`` (loud reject — silent non-matching would
+  hide selector typos). Matching backtracks over candidate
+  ancestors/siblings (a chain like ``x > y z`` matches via an OUTER y when
+  the nearest y's parent is not x — same as real CSS engines). Matches are
+  returned in document order, which is what gives HTMLElement.Index its
+  meaning (htmlelement.go:38).
 - XPath subset: absolute (``/html/body/p``) and anywhere (``//page/title``)
-  paths, ``*``, ``[@attr]``/``[@attr='v']``/``[tag]`` predicates — the
-  forms colly's own tests exercise (colly_test.go:1573-1631) — delegated to
-  ElementTree's ElementPath after a small translation.
+  paths, ``*``, ``[@attr]``/``[@attr='v']``/``[tag]`` predicates, and the
+  positional predicates ``[n]``/``[last()]``/``[last()-n]`` (ElementPath
+  evaluates them per parent — every element in the given position relative
+  to ITS parent — which is exactly XPath 1.0's semantics for an unaxised
+  step) — the forms colly's own tests exercise (colly_test.go:1573-1631)
+  — delegated to ElementTree's ElementPath after a small translation.
+  Axes (``following::`` etc.) and mid-path ``contains()`` raise ValueError
+  (loud reject, documented divergence from xmlquery's full XPath 1.0).
 
 Everything here is pure Python over one in-memory tree per document; the
 Spark side calls it from an Arrow-batched pandas UDF (one parse per page,
@@ -132,17 +140,38 @@ _TOKEN = re.compile(
   | \.(?P<cls>[\w-]+)
   | \#(?P<id>[\w-]+)
   | \[(?P<attr>[\w-]+)\s*(?:(?P<op>[~^$*]?=)\s*(?P<q>["']?)(?P<val>[^\]"']*)(?P=q)\s*)?\]
+  | :(?P<pseudo>[\w-]+)(?:\((?P<parg>[^()]*(?:\([^()]*\))?)\))?
     """,
     re.VERBOSE,
 )
+
+_NTH_AB = re.compile(r"^([+-]?\d*)n\s*([+-]\s*\d+)?$")
 
 
 class CssSelectorError(ValueError):
     pass
 
 
+def _parse_nth(arg: str) -> tuple[int, int]:
+    """':nth-child()' argument -> (a, b) of the an+b form."""
+    s = (arg or "").strip().lower()
+    if s == "odd":
+        return 2, 1
+    if s == "even":
+        return 2, 0
+    if re.fullmatch(r"[+-]?\d+", s):
+        return 0, int(s)
+    m = _NTH_AB.fullmatch(s)
+    if m:
+        a_s = m.group(1)
+        a = 1 if a_s in ("", "+") else (-1 if a_s == "-" else int(a_s))
+        b = int(m.group(2).replace(" ", "")) if m.group(2) else 0
+        return a, b
+    raise CssSelectorError(f"unsupported :nth-child() argument {arg!r}")
+
+
 def _compile_compound(s: str) -> list[tuple]:
-    """One compound selector ('a.cls[href]') -> list of simple tests."""
+    """One compound selector ('a.cls[href]:first-child') -> simple tests."""
     tests: list[tuple] = []
     pos = 0
     while pos < len(s):
@@ -155,6 +184,24 @@ def _compile_compound(s: str) -> list[tuple]:
             tests.append(("class", m.group("cls")))
         elif m.group("id"):
             tests.append(("id", m.group("id")))
+        elif m.group("pseudo"):
+            # structural pseudo-classes (goquery evaluates full CSS3,
+            # colly.go:1219-1237); everything else stays a LOUD reject —
+            # silently matching nothing would hide selector typos
+            name, parg = m.group("pseudo").lower(), m.group("parg")
+            if name == "first-child":
+                tests.append(("nth", 0, 1))
+            elif name == "last-child":
+                tests.append(("last",))
+            elif name == "nth-child":
+                a, b = _parse_nth(parg or "")
+                tests.append(("nth", a, b))
+            elif name == "not":
+                if not (parg or "").strip():
+                    raise CssSelectorError(f"empty :not() in {s!r}")
+                tests.append(("not", _compile_compound(parg.strip())))
+            else:
+                raise CssSelectorError(f"unsupported pseudo-class :{name} in {s!r}")
         else:
             tests.append(("attr", m.group("attr"), m.group("op"), m.group("val")))
         pos = m.end()
@@ -173,15 +220,16 @@ def compile_css(selector: str) -> list[list[tuple]]:
         alt = alt.strip()
         if not alt:
             raise CssSelectorError(f"empty alternative in {selector!r}")
-        # bracket-aware tokenization: '~' and whitespace inside [attr~=v]
-        # are part of the compound, not combinators
+        # bracket/paren-aware tokenization: '~' and whitespace inside
+        # [attr~=v], and '+' inside :nth-child(n+4), are part of the
+        # compound, not combinators
         parts: list[str] = []
         buf: list[str] = []
         depth = 0
         for ch in alt:
-            if ch == "[":
+            if ch in "[(":
                 depth += 1
-            elif ch == "]":
+            elif ch in "])":
                 depth = max(0, depth - 1)
             if depth == 0 and ch in " \t>+~":
                 if buf:
@@ -212,7 +260,12 @@ def compile_css(selector: str) -> list[list[tuple]]:
     return chains
 
 
-def _matches_compound(el: ET.Element, tests: list[tuple]) -> bool:
+def _matches_compound(el: ET.Element, tests: list[tuple], ctx: tuple) -> bool:
+    """``ctx`` = (container, sib_idx) maps from css_select's structural pass
+    — the positional pseudo-classes need the element's place among its
+    ELEMENT siblings (ElementTree containers hold only elements, which is
+    exactly what :nth-child counts)."""
+    container, sib_idx = ctx
     for t in tests:
         if t[0] == "tag":
             if t[1] != "*" and el.tag.lower() != t[1]:
@@ -222,6 +275,22 @@ def _matches_compound(el: ET.Element, tests: list[tuple]) -> bool:
                 return False
         elif t[0] == "id":
             if el.get("id") != t[1]:
+                return False
+        elif t[0] == "nth":
+            # position (1-based) must be a*k + b for some integer k >= 0
+            _, a, b = t
+            pos1 = sib_idx.get(id(el), 0) + 1
+            if a == 0:
+                if pos1 != b:
+                    return False
+            elif (pos1 - b) * a < 0 or (pos1 - b) % a != 0:
+                return False
+        elif t[0] == "last":
+            cont = container.get(id(el))
+            if cont is None or sib_idx.get(id(el), 0) != len(cont) - 1:
+                return False
+        elif t[0] == "not":
+            if _matches_compound(el, t[1], ctx):
                 return False
         else:
             _, name, op, val = t
@@ -273,6 +342,7 @@ def css_select(root: ET.Element, selector: str | list) -> list[ET.Element]:
 
     out: list[ET.Element] = []
     taken: set[int] = set()
+    ctx = (container, sib_idx)
     for seq in chains:
         memo: dict[tuple[int, int], bool] = {}
 
@@ -286,7 +356,7 @@ def css_select(root: ET.Element, selector: str | list) -> list[ET.Element]:
             return ok
 
         def _match_up_raw(el: ET.Element, pos: int) -> bool:
-            if not _matches_compound(el, seq[pos][1]):
+            if not _matches_compound(el, seq[pos][1], ctx):
                 return False
             if pos == 0:
                 return True
@@ -331,13 +401,18 @@ _XP_CONTAINS = re.compile(
 
 
 def _xpath_elements(root: ET.Element, p: str) -> list[ET.Element]:
-    if p.startswith("//"):
-        return root.findall("." + p)  # './/x' anywhere
-    if p.startswith("/"):
-        # absolute: ElementTree paths are relative to root's children, and
-        # our wrapper's children ARE the document element(s)
-        return root.findall(p.lstrip("/"))
-    return root.findall(p)
+    try:
+        if p.startswith("//"):
+            return root.findall("." + p)  # './/x' anywhere
+        if p.startswith("/"):
+            # absolute: ElementTree paths are relative to root's children,
+            # and our wrapper's children ARE the document element(s)
+            return root.findall(p.lstrip("/"))
+        return root.findall(p)
+    except SyntaxError as e:
+        # axes (following::, ancestor::, ...) and other full-XPath-1.0
+        # forms xmlquery would evaluate (xmlelement.go:26-42): loud reject
+        raise ValueError(f"unsupported XPath {p!r}: {e}") from None
 
 
 def xpath_select(root: ET.Element, xpath: str) -> list:
@@ -345,7 +420,9 @@ def xpath_select(root: ET.Element, xpath: str) -> list:
 
     ``//x`` -> anywhere; ``/x/y`` -> absolute from the document element.
     Predicates supported by ElementTree pass through ([@attr], [@a='v'],
-    [tag], [position]). On top of ElementPath:
+    [tag], and the positional forms [n]/[last()]/[last()-n], evaluated per
+    parent exactly like XPath 1.0 — ``//item[1]/title`` is every channel's
+    first item title, not the document's first). On top of ElementPath:
 
     - ``.../text()`` returns the matched elements' direct text (STRING
       results — the sitemap idiom ``//loc/text()``, xmlelement.go:26-42's

@@ -53,13 +53,16 @@ def test_collector_facade_end_to_end(spark, tabs):
 
 def test_unsupported_selector_rejected(spark, tabs):
     """Arbitrary CSS selectors register (P3 general engine); syntax outside
-    the supported subset (pseudo-classes) fails loudly at registration, not
-    mid-crawl inside the parse UDF."""
+    the supported subset fails loudly at registration, not mid-crawl inside
+    the parse UDF. Structural pseudo-classes (:nth-child et al.) are part
+    of the supported subset since round 4."""
     col = Collector(spark, tabs["pages"], tabs["images"], tabs["robots"])
+    with pytest.raises(ValueError, match="unsupported pseudo-class"):
+        col.on_html("div.article > p:nth-of-type(2)")
     with pytest.raises(ValueError, match="unsupported CSS selector"):
-        col.on_html("div.article > p:nth-child(2)")
-    col.on_html("div.article > p")  # supported combinator form registers
-    assert col.cfg.html_extractors[-1].selector == "div.article > p"
+        col.on_html("div.article ! p")
+    col.on_html("div.article > p:nth-child(2)")  # structural pseudo registers
+    assert col.cfg.html_extractors[-1].selector == "div.article > p:nth-child(2)"
 
 
 def test_detach_stops_link_follow_parity(spark, tabs):

@@ -95,11 +95,58 @@ def test_css_unsupported_raises():
     import pytest
 
     with pytest.raises(dom.CssSelectorError):
-        dom.compile_css("p:nth-child(2)")
+        dom.compile_css("a:hover")  # non-structural pseudo stays rejected
+    with pytest.raises(dom.CssSelectorError):
+        dom.compile_css("p:nth-of-type(2)")
+    with pytest.raises(dom.CssSelectorError):
+        dom.compile_css("p:nth-child(2 of .x)")  # CSS4 'of' form
+    with pytest.raises(dom.CssSelectorError):
+        dom.compile_css("p:not()")  # empty argument
     with pytest.raises(dom.CssSelectorError):
         dom.compile_css("a >")  # dangling combinator
     with pytest.raises(dom.CssSelectorError):
         dom.compile_css("+ b")
+
+
+NTH = """
+<ul id="u1"><li>a</li><li class="x">b</li><li>c</li><li>d</li><li>e</li></ul>
+<ul id="u2"><li>f</li><li>g</li></ul>
+<div><span>s</span><p>only-p</p></div>
+"""
+
+
+def _texts(root, sel):
+    return [dom.text_content(e) for e in dom.css_select(root, sel)]
+
+
+def test_css_pseudo_classes():
+    root = dom.parse_html(NTH)
+    # positional pseudos count ELEMENT siblings per parent, like goquery
+    assert _texts(root, "li:first-child") == ["a", "f"]
+    assert _texts(root, "li:last-child") == ["e", "g"]
+    assert _texts(root, "li:nth-child(2)") == ["b", "g"]
+    assert _texts(root, "li:nth-child(odd)") == ["a", "c", "e", "f"]
+    assert _texts(root, "li:nth-child(2n)") == ["b", "d", "g"]
+    assert _texts(root, "li:nth-child(n+4)") == ["d", "e"]
+    assert _texts(root, "li:nth-child(-n+2)") == ["a", "b", "f", "g"]
+    # :not over compounds, and stacking with other simple selectors
+    assert _texts(root, "li:not(.x)") == ["a", "c", "d", "e", "f", "g"]
+    assert _texts(root, "li:not(:first-child)") == ["b", "c", "d", "e", "g"]
+    assert _texts(root, "ul#u1 > li.x:nth-child(2)") == ["b"]
+    # p:first-child must NOT match a p whose previous sibling is a span
+    assert _texts(root, "p:first-child") == []
+
+
+def test_css_pseudo_with_combinators():
+    # the VERDICT's done-criterion: combinator interaction
+    html = (
+        '<ul><li><a href="1">one</a></li><li><a href="2">two</a></li></ul>'
+        "<ol><li><em>x</em><a href='3'>three</a></li></ol>"
+    )
+    root = dom.parse_html(html)
+    assert [e.get("href") for e in dom.css_select(root, "ul > li:first-child a")] == ["1"]
+    assert [e.get("href") for e in dom.css_select(root, "li:first-child > a")] == ["1", "3"]
+    assert [e.get("href") for e in dom.css_select(root, "li:last-child a")] == ["2", "3"]
 
 
 SIBS = """
@@ -399,6 +446,41 @@ def test_xpath_text_attr_contains():
 
     with pytest.raises(ValueError):
         dom.xpath_select(html, '//div[contains(@class, "x")]/a')
+
+
+def test_xpath_positional_predicates():
+    """[n] / [last()] / [last()-n] pass through ElementPath with XPath
+    1.0's per-parent semantics (VERDICT r3 item 6): //item[1]/title is
+    every channel's first item title, not the document's first match."""
+    xml = (
+        "<rss>"
+        "<channel><item><title>A</title></item><item><title>B</title></item>"
+        "<item><title>C</title></item></channel>"
+        "<channel><item><title>D</title></item><item><title>E</title></item>"
+        "</channel>"
+        "</rss>"
+    )
+    tree = dom.parse_xml(xml)
+    first = dom.xpath_select(tree, "//item[1]/title/text()")
+    assert first == ["A", "D"]
+    assert dom.xpath_select(tree, "//item[last()]/title/text()") == ["C", "E"]
+    assert dom.xpath_select(tree, "//item[last()-1]/title/text()") == ["B", "D"]
+    assert dom.xpath_select(tree, "/rss/channel[2]/item[2]/title/text()") == ["E"]
+    # positional + attr tail compose
+    html = dom.parse_html('<ul><li><a href="/a">a</a></li><li><a href="/b">b</a></li></ul>')
+    assert dom.xpath_select(html, "//li[2]/a/@href") == ["/b"]
+
+
+def test_xpath_axes_rejected_loudly():
+    """Axes are full-XPath-1.0 surface xmlquery has and ElementPath lacks
+    (xmlelement.go:26-42) — rejected with ValueError, never a silent []."""
+    import pytest
+
+    tree = dom.parse_xml("<r><a/><b/></r>")
+    for bad in ("//a/following::b", "//a/ancestor::r",
+                '//a[contains(@href,"x")]/following::b'):
+        with pytest.raises(ValueError):
+            dom.xpath_select(tree, bad)
 
 
 def test_xpath_string_results_through_extractor():
