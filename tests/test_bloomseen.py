@@ -73,6 +73,77 @@ def bloom_site():
     return spec, build_site(spec)
 
 
+def test_bloom_dormant_then_armed_rebuilds(spark, tmp_path, bloom_site):
+    """ADVICE r3 item 1 / VERDICT r4 task: the dormant-round reset of
+    ``_bloom_ready`` (engine._run_round) is what forces a full filter
+    rebuild when Bloom re-arms after rounds that grew url_seen without
+    filter maintenance. Exercise the one path where the flag enters a
+    dormant round stale-True: resume a checkpoint that ran ARMED
+    (bloom_active=1 -> _bloom_ready=True), with a raised min_seen so the
+    next round runs dormant, then cross the threshold mid-crawl. If the
+    reset is reverted, the armed rounds probe filters missing the dormant
+    round's hashes — false negatives = missed dedup = extra visits — and
+    the equality below fails."""
+    spec, site = bloom_site
+    tabs = site_to_spark(spark, site)
+    seeds = make_seeds([f"http://d0{d}.test/page/0" for d in range(3)])
+
+    def cfg(min_seen):
+        return CrawlConfig(
+            max_depth=3,
+            ignore_robots_txt=False,
+            seen_bloom_enabled=True,
+            seen_bloom_min_seen=min_seen,
+            seen_bloom_partitions=8,
+            seen_bloom_capacity_per_partition=4096,
+            shuffle_partitions=8,
+        )
+
+    # reference: exact-only uninterrupted run; also yields the per-round
+    # cumulative built counts the threshold is derived from
+    ref_cfg = CrawlConfig(max_depth=3, ignore_robots_txt=False,
+                          seen_bloom_enabled=False, shuffle_partitions=8)
+    ref = Crawler(spark, ref_cfg, tabs["pages"], tabs["images"], tabs["robots"])
+    ref_out = ref.run(seeds, max_rounds=8)
+    expect = {
+        "visits": [
+            (r["fetch_seq"], r["url"], r["depth"])
+            for r in ref_out["visits"].orderBy("fetch_seq").collect()
+        ],
+        "seen": {r["url_hash"] for r in ref_out["url_seen"].collect()},
+    }
+    cum = []
+    total = 0
+    for s in ref.stats:
+        total += s.accepted
+        cum.append(total)
+    assert len(cum) >= 3 and cum[1] > cum[0], "fixture too small for the scenario"
+
+    # run 1: armed from round 0, one round, checkpointed (bloom_active=1)
+    ck = str(tmp_path / "ck")
+    cr1 = Crawler(spark, cfg(0), tabs["pages"], tabs["images"], tabs["robots"],
+                  checkpoint_dir=ck)
+    cr1.run(seeds, max_rounds=1)
+    assert cr1.store.counters["bloom_active"] == 1
+
+    # run 2 (resume): round 1 dormant (built=cum[0] < thr), round 2 armed
+    # (built=cum[1] >= thr) — the dormant round grows url_seen with no
+    # filter updates, so arming MUST rebuild
+    thr = cum[1]
+    assert cum[0] < thr
+    cr2 = Crawler(spark, cfg(thr), tabs["pages"], tabs["images"], tabs["robots"],
+                  checkpoint_dir=ck)
+    out = cr2.run(seeds, max_rounds=8)
+    got = {
+        "visits": [
+            (r["fetch_seq"], r["url"], r["depth"])
+            for r in out["visits"].orderBy("fetch_seq").collect()
+        ],
+        "seen": {r["url_hash"] for r in out["url_seen"].collect()},
+    }
+    assert got == expect
+
+
 def test_engine_parity_bloom_vs_exact_vs_simulator(spark, bloom_site):
     spec, site = bloom_site
     tabs = site_to_spark(spark, site)
