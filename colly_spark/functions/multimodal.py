@@ -4,9 +4,10 @@ frame-sample over opaque ``binary`` payloads with typed metadata.
 The Spark-side plumbing is real and tested — schemas, Arrow batch shapes,
 ``mapInPandas`` signatures, partitioning — while the codec layer delegates to
 :mod:`colly_spark.imagecodec` (deterministic stand-in; PIL path when
-available). Audio/video decoders are explicit stubs: the wrappers validate
-schema and raise ``NotImplementedError`` at the decode step only, so swapping
-in a real library touches one function.
+available). Audio decodes WAV/PCM natively (stdlib ``wave`` + numpy);
+compressed audio and all video remain explicit stubs raising
+``NotImplementedError`` at the decode step only, so swapping in a real
+library touches one function.
 """
 
 from __future__ import annotations
@@ -110,10 +111,90 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return images.mapInPandas(gen, schema=RESIZE_SCHEMA)
 
 
-def decode_audio(data: bytes):  # pragma: no cover - stub by design
-    """STUB: no audio codec in this container. Schema/plumbing contract:
-    returns (sample_rate:int, samples:np.ndarray[float32])."""
-    raise NotImplementedError("audio decoding requires soundfile/ffmpeg (not installed)")
+def decode_audio(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode WAV/PCM audio (stdlib ``wave`` + numpy — no external codec
+    needed): returns ``(sample_rate, samples)`` with samples float32 in
+    [-1, 1], shape (frames, channels). Supports 8/16/24/32-bit integer
+    PCM; anything else (MP3, float WAV, ...) raises NotImplementedError —
+    those genuinely need soundfile/ffmpeg, which this container lacks."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(data)) as w:
+            rate = w.getframerate()
+            nch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise NotImplementedError(f"not integer-PCM WAV: {e}") from None
+    if width == 1:  # 8-bit WAV is unsigned
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+        samples = (samples - 128.0) / 128.0
+    elif width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 3:  # 24-bit: widen each triple to int32, shift-extend
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        i32 = (
+            b[:, 0].astype(np.uint32)
+            | (b[:, 1].astype(np.uint32) << 8)
+            | (b[:, 2].astype(np.uint32) << 16)
+        ).astype(np.int32)
+        i32 = (i32 << 8) >> 8  # sign-extend from 24 bits
+        samples = i32.astype(np.float32) / 8388608.0
+    elif width == 4:
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:  # pragma: no cover - wave only yields 1..4
+        raise NotImplementedError(f"unsupported PCM sample width {width}")
+    return rate, samples.reshape(-1, nch)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("audio_id", StringType()),
+        StructField("decode_ok", BooleanType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+    ]
+)
+
+
+def audio_features(audio: DataFrame, id_col: str = "audio_id",
+                   bytes_col: str = "bytes") -> DataFrame:
+    """Decode + feature-extract audio payloads (duration, RMS, peak) in
+    Arrow-batched pandas over ``mapInPandas`` — the same shape as
+    :func:`image_features`. Undecodable rows come back ``decode_ok=false``
+    instead of being dropped (quarantine-and-count at 100 TB)."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
+                try:
+                    rate, samples = decode_audio(data)
+                except NotImplementedError:
+                    rows.append((aid, False, 0, 0, 0, 0.0, 0.0, 0.0))
+                    continue
+                n = samples.shape[0]
+                rows.append((
+                    aid, True, int(rate), int(samples.shape[1]), int(n),
+                    round(n / rate, 6) if rate else 0.0,
+                    round(float(np.sqrt((samples ** 2).mean())), 6) if n else 0.0,
+                    round(float(np.abs(samples).max()), 6) if n else 0.0,
+                ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    from pyspark.sql import functions as F
+
+    return audio.select(
+        F.col(id_col).alias("audio_id"), F.col(bytes_col).alias("bytes")
+    ).mapInPandas(gen, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def sample_video_frames(data: bytes, every_n: int = 30):  # pragma: no cover - stub
