@@ -128,7 +128,11 @@ def crawl_bench(spark, n_domains: int, pages_per_domain: int) -> dict:
         ),
         seen_bloom_delivery=os.environ.get("BENCH_BLOOM_DELIVERY", "auto"),
     )
-    crawler = Crawler(spark, cfg, pages, images, robots)
+    # BENCH_CHECKPOINT_DIR: run the crawl in disk (resumable) mode — the
+    # configuration a production 10^10 crawl would actually run; a *.db
+    # path selects the sqlite backend. Cleared between runs by the caller.
+    ckpt = os.environ.get("BENCH_CHECKPOINT_DIR") or None
+    crawler = Crawler(spark, cfg, pages, images, robots, checkpoint_dir=ckpt)
     cpu0 = _cpu_times()
     t0 = time.time()
     out = crawler.run(seeds, max_rounds=3)
@@ -146,6 +150,8 @@ def crawl_bench(spark, n_domains: int, pages_per_domain: int) -> dict:
         "wall_s": round(wall, 2),
         "urls_per_sec": round(n_visits / wall, 1),
         "steal_pct": steal,
+        "mode": ("sqlite" if ckpt.endswith((".db", ".sqlite")) else "disk")
+        if ckpt else "memory",
     }
 
 
