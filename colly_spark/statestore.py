@@ -108,6 +108,12 @@ class StateStore:
         # unionByName re-analyzed the full accumulated tree on every append
         # — pure driver-side serial cost in the round loop.
         self._mem_appends: dict[str, list[DataFrame]] = {}
+        # memory-mode replace()s since the last compact: a table that was
+        # neither appended to nor replaced is ALREADY a checkpointed frame
+        # — re-checkpointing it is one full Spark job of pure serial cost
+        # per table per round (measured as the dominant residual term of
+        # the round loop once plan construction was hoisted)
+        self._mem_dirty: set[str] = set()
         if self.dir:
             self._io_init()
             self._load_manifest()
@@ -258,6 +264,7 @@ class StateStore:
         else:
             self.tables[name] = df
             self._mem_appends.pop(name, None)
+            self._mem_dirty.add(name)
 
     def compact(self, names: list[str]) -> None:
         """Truncate Catalyst lineage of iterative tables (memory mode).
@@ -309,8 +316,9 @@ class StateStore:
             if staged:
                 base = [self.tables[name]] if name in self.tables else []
                 self.tables[name] = union_all(base + staged).localCheckpoint(eager=True)
-            elif name in self.tables:
+            elif name in self._mem_dirty and name in self.tables:
                 self.tables[name] = self.tables[name].localCheckpoint(eager=True)
+            self._mem_dirty.discard(name)
 
     def compact_rewrite(self, name: str, df: DataFrame, round_no: int) -> None:
         """Rewrite an append-mode table to exactly ``df`` (fetch-cache
@@ -330,6 +338,7 @@ class StateStore:
             # included) — clear them or the next get() double-counts
             self._mem_appends.pop(name, None)
             self.tables[name] = df.localCheckpoint(eager=True)
+            self._mem_dirty.discard(name)
             return
         seg = self._next_seg(name, round_no)
         scan = self._io_write(name, seg, df)  # materialize BEFORE retiring
