@@ -41,6 +41,11 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # SPARK_GRAFT_CONF="k=v;k2=v2" — applied last so any default above can
+    # be overridden per-run (A/B experiments, cluster-specific tuning)
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        b = b.config(k.strip(), v.strip())
     eventlog_dir = os.environ.get("SPARK_EVENTLOG_DIR")
     if eventlog_dir:
         os.makedirs(eventlog_dir, exist_ok=True)
