@@ -231,6 +231,35 @@ def q_ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF/LSH-bucketed ANN (sign-bit coarse quantizer + 2-bit multi-probe).
+    Fully deterministic, so the oracle recomputes the same bucket fold,
+    probe expansion, and rank relationally in DuckDB — the scale path is
+    checked value-for-value, not just the brute-force baseline."""
+    from colly_spark.functions.similarity import ivf_topk
+
+    emb = _read(spark, sf, "embeddings")
+    return ivf_topk(emb, query_ids=[0, 1, 2, 3, 4], k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (sign-bit LSH bucket + 1-bit
+    multi-probe + exact-cosine verify). Threshold 0.37 sits in a wide gap of
+    the sf0.01 candidate cosine distribution (nearest values 0.3526 /
+    0.4032) so float rounding cannot flip membership; output is the integer
+    pair set only."""
+    from colly_spark.functions.dedup import embedding_neardup_pairs
+
+    emb = _read(spark, sf, "embeddings")
+    return (
+        embedding_neardup_pairs(emb, threshold=0.37)
+        .select("a", "b")
+        .orderBy("a", "b")
+    )
+
+
 def q_minhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH near-dup pairs. Oracle: golden parquet computed by an
     independent pure-Python implementation (tools/make_golden.py, hashing
@@ -276,6 +305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_stats": q_text_stats,
         "q_quality_scoring": q_quality_scoring,
         "q_ann_bruteforce": q_ann_bruteforce,
+        "q_ann_ivf": q_ann_ivf,
+        "q_embedding_neardup": q_embedding_neardup,
         "q_minhash_neardup": q_minhash_neardup,
         "q_simhash": q_simhash,
         "q_simhash_neardup": q_simhash_neardup,
@@ -384,6 +415,67 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id IN (0,1,2,3,4) AND c.vec_id <> q.vec_id) t
             WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        # q_ann_ivf / q_embedding_neardup: the LSH bucket folds are plain
+        # integer arithmetic over parquet float sign bits (no float math
+        # until the final cosine), so DuckDB reproduces the approximate
+        # candidate generation exactly; outputs are integer columns only.
+        "q_ann_ivf": """
+            WITH e AS (
+                SELECT vec_id, embedding,
+                       (CASE WHEN embedding[1] >= 0 THEN 32 ELSE 0 END)
+                     + (CASE WHEN embedding[2] >= 0 THEN 16 ELSE 0 END)
+                     + (CASE WHEN embedding[3] >= 0 THEN 8 ELSE 0 END)
+                     + (CASE WHEN embedding[4] >= 0 THEN 4 ELSE 0 END)
+                     + (CASE WHEN embedding[5] >= 0 THEN 2 ELSE 0 END)
+                     + (CASE WHEN embedding[6] >= 0 THEN 1 ELSE 0 END)
+                       AS bucket
+                FROM embeddings),
+            probes AS (
+                SELECT DISTINCT q.vec_id AS query_id, q.embedding AS q_emb,
+                       xor(q.bucket, f.flip) AS bucket
+                FROM e q,
+                     (SELECT UNNEST([0,1,2,3,4,5,6,8,9,10,12,16,17,18,20,
+                                     24,32,33,34,36,40,48]) AS flip) f
+                WHERE q.vec_id IN (0,1,2,3,4)),
+            ranked AS (
+                SELECT query_id, r.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY list_cosine_similarity(q_emb, r.embedding)
+                                    DESC, r.vec_id ASC) AS rank
+                FROM probes JOIN e r USING (bucket)
+                WHERE r.vec_id <> query_id)
+            SELECT query_id, neighbor_id, rank FROM ranked
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "q_embedding_neardup": """
+            WITH e AS (
+                SELECT vec_id, embedding,
+                       (CASE WHEN embedding[1] >= 0 THEN 2048 ELSE 0 END)
+                     + (CASE WHEN embedding[2] >= 0 THEN 1024 ELSE 0 END)
+                     + (CASE WHEN embedding[3] >= 0 THEN 512 ELSE 0 END)
+                     + (CASE WHEN embedding[4] >= 0 THEN 256 ELSE 0 END)
+                     + (CASE WHEN embedding[5] >= 0 THEN 128 ELSE 0 END)
+                     + (CASE WHEN embedding[6] >= 0 THEN 64 ELSE 0 END)
+                     + (CASE WHEN embedding[7] >= 0 THEN 32 ELSE 0 END)
+                     + (CASE WHEN embedding[8] >= 0 THEN 16 ELSE 0 END)
+                     + (CASE WHEN embedding[9] >= 0 THEN 8 ELSE 0 END)
+                     + (CASE WHEN embedding[10] >= 0 THEN 4 ELSE 0 END)
+                     + (CASE WHEN embedding[11] >= 0 THEN 2 ELSE 0 END)
+                     + (CASE WHEN embedding[12] >= 0 THEN 1 ELSE 0 END)
+                       AS bucket
+                FROM embeddings),
+            lhs AS (
+                SELECT vec_id AS a, embedding AS emb_a,
+                       xor(bucket, f.flip) AS bucket
+                FROM e, (SELECT UNNEST([0,1,2,4,8,16,32,64,128,256,512,
+                                        1024,2048]) AS flip) f)
+            SELECT DISTINCT a, r.vec_id AS b
+            FROM lhs JOIN e r USING (bucket)
+            WHERE a < r.vec_id
+              AND list_cosine_similarity(emb_a, r.embedding) >= 0.37
+            ORDER BY a, b
         """,
         # q_minhash_neardup / q_simhash: DuckDB cannot reproduce Spark's
         # seeded xxhash64, so the oracle is a GOLDEN PARQUET computed by an
