@@ -15,6 +15,28 @@ def build_session(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or int(cpus)
+    # Under spark-submit the JVM gateway already exists with the submitted
+    # --master / --driver-memory / --conf: only session-settable spark.sql.*
+    # knobs apply here; master and static JVM confs MUST NOT be overridden
+    # (cluster managers would reject a second master, and static confs set
+    # post-launch are silently ignored). PYSPARK_GATEWAY_PORT is how
+    # PythonRunner hands the pre-built JVM to this process.
+    if "PYSPARK_GATEWAY_PORT" in os.environ:
+        b = (
+            SparkSession.builder.appName(app)
+            .config("spark.sql.shuffle.partitions", str(shuffle))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            .config("spark.sql.adaptive.skewJoin.enabled", "true")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+            .config("spark.sql.maxPlanStringLength", "1048576")
+            .config("spark.sql.session.timeZone", "UTC")
+        )
+        for kv in filter(None, os.environ.get("SPARK_GRAFT_CONF", "").split(";")):
+            k, _, v = kv.partition("=")
+            b = b.config(k.strip(), v.strip())
+        return b.getOrCreate()
     b = (
         SparkSession.builder.appName(app)
         .master(master)
