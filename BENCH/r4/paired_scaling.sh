@@ -15,7 +15,7 @@ probe() { python -c "import bench; print(bench.wake_rt_per_sec())"; }
 for pair in 1 2 3; do
   while true; do
     P=$(probe); echo "$(date +%H:%M:%S) probe $P" >> "$LOG"
-    [ "$P" -ge 30000 ] && break
+    [ "$P" -ge 10000 ] && break
     sleep 120
   done
   echo "$(date +%H:%M:%S) pair $pair launch" >> "$LOG"
