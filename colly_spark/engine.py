@@ -1035,10 +1035,8 @@ class Crawler:
         n_deferred = deferred_prev + n_accepted - n_dispatch
         if n_deferred or deferred_prev:
             self.store.replace("pending", deferred, rnd)
-        else:
-            self.store.replace(
-                "pending", spark.createDataFrame([], schema=schemas.FRONTIER), rnd
-            )
+        # else: pending was empty and stays empty — rewriting an empty
+        # snapshot would cost one durable-write job per round in disk mode
 
         # ---------------- fetch: X2 cache + X3 redirects + X1 content join -
         # X2 (http_backend.go:157-200): GET dispatch rows with a live cache
@@ -1607,8 +1605,6 @@ class Crawler:
                 to_compact.append("fetch_cache")
         self.store.compact(to_compact)
         self._pins.extend([c, dispatch, d])
-        if len(self._pins) >= 16:
-            self._flush_pins()
         self.store.commit_round(
             rnd,
             {"built": built + n_enqueued, "fetched": fetched + n_dispatch,
@@ -1622,6 +1618,12 @@ class Crawler:
              "bloom_p": cfg.seen_bloom_partitions,
              "bloom_active": int(use_bloom)},
         )
+        # pin release AFTER the commit: disk mode durably writes the round's
+        # staged deltas inside commit_round, and those write plans read the
+        # pinned per-round caches — unpersisting first would force a full
+        # recompute of the fetch/parse plan per output table
+        if len(self._pins) >= 16:
+            self._flush_pins()
         # previous rounds' filter broadcasts are no longer referenced by any
         # live plan (this round's state is checkpointed above); without the
         # destroy they accrue ~partitions x m/8 bytes per round

@@ -31,8 +31,39 @@ import pickle
 import shutil
 import sqlite3
 import tempfile
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def run_jobs_concurrent(spark: SparkSession, thunks: list):
+    """Run independent Spark actions (localCheckpoint / parquet write)
+    concurrently and return their results in order.
+
+    Every action is a full driver-side scheduling barrier (job submit,
+    DAG build, task round-trips) — K small state-maintenance jobs issued
+    serially cost K barriers of pure latency even when the cluster is
+    idle. Spark's scheduler accepts concurrent job submission natively
+    (it is the documented multi-tenant pattern) and py4j releases the
+    GIL on socket waits, so submitting the batch from a small thread
+    pool collapses K barriers into ~1 without touching plan semantics.
+    The job description is a thread-local in Spark — re-pin the caller's
+    inside each worker so the UI still attributes jobs to the round
+    stage."""
+    if not thunks:
+        return []
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    sc = spark.sparkContext
+    desc = sc.getLocalProperty("spark.job.description")
+
+    def run(t):
+        if desc is not None:
+            sc.setJobDescription(desc)
+        return t()
+
+    with ThreadPoolExecutor(max_workers=min(8, len(thunks))) as ex:
+        return list(ex.map(run, thunks))
 
 
 def _round_of(subdir: str) -> int | None:
@@ -224,28 +255,19 @@ class StateStore:
             conf.set("spark.sql.adaptive.enabled", old)
 
     def stage_append(self, name: str, df: DataFrame, round_no: int) -> None:
-        """Write (disk) / union (memory) this round's rows for ``name``.
-        Not visible to a resumed run until :meth:`commit_round`."""
+        """Stage this round's rows for ``name`` (lazy in BOTH modes).
+        Later reads within the round see them (:meth:`get` /
+        :meth:`get_parts` union the staged frames); disk mode durably
+        writes every staged delta in ONE concurrent batch at
+        :meth:`commit_round` — staging eagerly would cost one serial
+        parquet-write barrier per append (~8-10 per round across errors /
+        url_seen / lineage / visits / results / caches), pure driver
+        latency the commit batch collapses. Not visible to a resumed run
+        until the manifest commit, exactly as before."""
         cols = [f.name for f in self.schemas[name].fields]
         df = df.select(*cols)
         if name in self.bucketed:
-            if self.dir:
-                # durable delta: write the round's appends, then carry the
-                # DURABLE SCAN as the in-memory tail frame (already
-                # materialized + lineage-truncated — compact never needs to
-                # re-checkpoint it)
-                seg = self._next_seg(name, round_no)
-                self._tail[name].append(self._io_write(name, seg, df))
-                self._tail_segs[name].append(seg)
-            else:
-                self._tail_pending[name].append(df)
-            return
-        if self.dir:
-            # a round may stage several appends to one table (e.g. url_seen:
-            # submission marks then redirect-hop marks). Each gets its own
-            # segment: never overwrite one a sibling plan is still reading.
-            self._io_write(name, self._next_seg(name, round_no), df)
-            self.tables[name] = self._read_table(name)
+            self._tail_pending[name].append(df)
         else:
             self._mem_appends.setdefault(name, []).append(df)
 
@@ -259,7 +281,11 @@ class StateStore:
         cols = [f.name for f in self.schemas[name].fields]
         df = df.select(*cols)
         if self.dir:
-            # replace = only the newest round segment is live
+            # replace = only the newest round segment is live. Written
+            # eagerly (not deferred to commit): the caller counts/reads the
+            # replaced table right after, and the durable scan makes that a
+            # single materialization instead of a double pass.
+            self._mem_appends.pop(name, None)
             self.tables[name] = self._io_write(name, f"round={round_no}", df)
         else:
             self.tables[name] = df
@@ -272,53 +298,71 @@ class StateStore:
         Bucketed tables compact incrementally: only the round's DELTA is
         checkpointed (O(appends), not O(table)); every ``merge_every``
         compactions the accumulated tail folds into the partitioned base
-        with one full shuffle — amortized Iceberg-style bucket compaction."""
+        with one full shuffle — amortized Iceberg-style bucket compaction.
+
+        The per-table ``localCheckpoint`` actions are independent jobs —
+        they run as one concurrent batch (run_jobs_concurrent) instead of
+        one serial scheduling barrier per table. Disk mode skips the
+        non-bucketed tables entirely: their lineage truncation comes free
+        from the durable-scan swap at commit_round."""
+        batch: list[tuple[str, str, DataFrame]] = []  # (kind, name, frame)
         for name in names:
             if name in self.bucketed:
-                spec = self.bucketed[name]
                 if not self.dir and self._tail_pending[name]:
-                    delta = union_all(self._tail_pending[name])
-                    self._tail[name].append(delta.localCheckpoint(eager=True))
-                    self._tail_pending[name] = []
-                self._since_merge[name] += 1
-                if self._since_merge[name] >= spec["merge_every"] and self._tail[name]:
-                    frames = (
-                        [] if self._base[name] is None else [self._base[name]]
-                    ) + self._tail[name]
-                    self._base[name] = self._ckpt_partitioned(
-                        union_all(frames), spec["keys"], spec["partitions"]
-                    )
-                    self._tail[name] = []
-                    self._since_merge[name] = 0
-                    if self.dir:
-                        # durable bucket compaction: write the merged base
-                        # (already checkpointed — this is a copy, not a
-                        # recompute) as a staged segment under the
-                        # IN-PROGRESS round. Crash before the manifest
-                        # commit: the staged segment is uncommitted and
-                        # dropped on resume, the superseded delta segments
-                        # are still durable — state intact. Crash after:
-                        # commit_round retired the superseded segments and
-                        # the base segment is live.
-                        seg = self._next_seg(name, self.completed_round + 1)
-                        self._io_write(name, seg, self._base[name])
-                        if self._base_seg[name]:
-                            self._pending_delete.append((name, self._base_seg[name]))
-                        self._pending_delete.extend(
-                            (name, s) for s in self._tail_segs[name]
-                        )
-                        self._base_seg[name] = seg
-                        self._tail_segs[name] = []
+                    batch.append(("tail", name, union_all(self._tail_pending[name])))
                 continue
             if self.dir:
                 continue
             staged = self._mem_appends.pop(name, None)
             if staged:
                 base = [self.tables[name]] if name in self.tables else []
-                self.tables[name] = union_all(base + staged).localCheckpoint(eager=True)
+                batch.append(("table", name, union_all(base + staged)))
             elif name in self._mem_dirty and name in self.tables:
-                self.tables[name] = self.tables[name].localCheckpoint(eager=True)
+                batch.append(("table", name, self.tables[name]))
             self._mem_dirty.discard(name)
+        done = run_jobs_concurrent(
+            self.spark,
+            [lambda df=df: df.localCheckpoint(eager=True) for _, _, df in batch],
+        )
+        for (kind, name, _), ck in zip(batch, done):
+            if kind == "tail":
+                self._tail[name].append(ck)
+                self._tail_pending[name] = []
+            else:
+                self.tables[name] = ck
+        for name in names:
+            if name not in self.bucketed:
+                continue
+            spec = self.bucketed[name]
+            self._since_merge[name] += 1
+            if self._since_merge[name] >= spec["merge_every"] and self._tail[name]:
+                frames = (
+                    [] if self._base[name] is None else [self._base[name]]
+                ) + self._tail[name]
+                self._base[name] = self._ckpt_partitioned(
+                    union_all(frames), spec["keys"], spec["partitions"]
+                )
+                self._tail[name] = []
+                self._since_merge[name] = 0
+                if self.dir:
+                    # durable bucket compaction: write the merged base
+                    # (already checkpointed — this is a copy, not a
+                    # recompute) as a staged segment under the
+                    # IN-PROGRESS round. Crash before the manifest
+                    # commit: the staged segment is uncommitted and
+                    # dropped on resume, the superseded delta segments
+                    # are still durable — state intact. Crash after:
+                    # commit_round retired the superseded segments and
+                    # the base segment is live.
+                    seg = self._next_seg(name, self.completed_round + 1)
+                    self._io_write(name, seg, self._base[name])
+                    if self._base_seg[name]:
+                        self._pending_delete.append((name, self._base_seg[name]))
+                    self._pending_delete.extend(
+                        (name, s) for s in self._tail_segs[name]
+                    )
+                    self._base_seg[name] = seg
+                    self._tail_segs[name] = []
 
     def compact_rewrite(self, name: str, df: DataFrame, round_no: int) -> None:
         """Rewrite an append-mode table to exactly ``df`` (fetch-cache
@@ -333,10 +377,10 @@ class StateStore:
         next compaction removes them."""
         cols = [f.name for f in self.schemas[name].fields]
         df = df.select(*cols)
+        # the rewrite frame was derived from get() (staged appends
+        # included) — clear them or the next get() / commit double-counts
+        self._mem_appends.pop(name, None)
         if not self.dir:
-            # the rewrite frame was derived from get() (staged appends
-            # included) — clear them or the next get() double-counts
-            self._mem_appends.pop(name, None)
             self.tables[name] = df.localCheckpoint(eager=True)
             self._mem_dirty.discard(name)
             return
@@ -353,6 +397,34 @@ class StateStore:
         self.counters = dict(counters)
         if not self.dir:
             return
+        # durably write every delta staged this round as ONE concurrent
+        # batch of independent parquet-write jobs (one segment per table —
+        # the per-append segments of the old eager path collapse too).
+        # Crash mid-batch: the segments carry round=round_no which is
+        # > the manifest's completed_round until the save below, so a
+        # resume drops them — same crash contract as the eager path.
+        writes: list[tuple[str, str, DataFrame]] = []
+        for name, frames in self._mem_appends.items():
+            if frames:
+                writes.append((name, self._next_seg(name, round_no), union_all(frames)))
+        for name, frames in self._tail_pending.items():
+            if frames:
+                writes.append((name, self._next_seg(name, round_no), union_all(frames)))
+        scans = run_jobs_concurrent(
+            self.spark,
+            [lambda n=n, s=s, df=df: self._io_write(n, s, df) for n, s, df in writes],
+        )
+        for (name, seg, _), scan in zip(writes, scans):
+            if name in self.bucketed:
+                # the durable scan becomes the tail frame: materialized +
+                # lineage-truncated, so later probes/merges never re-run
+                # the round's plan
+                self._tail[name].append(scan)
+                self._tail_segs[name].append(seg)
+                self._tail_pending[name] = []
+            else:
+                self._mem_appends.pop(name, None)
+                self.tables[name] = self._read_table(name)
         for name in self.schemas:
             for sub in self._io_list(name):
                 r = _round_of(sub)
@@ -437,7 +509,9 @@ class SqliteStateStore(StateStore):
             )
 
     def _conn(self) -> sqlite3.Connection:
-        return sqlite3.connect(self.dir)
+        # commit_round issues segment writes concurrently; the busy timeout
+        # lets writers queue on SQLite's file lock instead of erroring
+        return sqlite3.connect(self.dir, timeout=30)
 
     def _io_list(self, name: str) -> list[str]:
         with self._conn() as db:

@@ -52,6 +52,8 @@ def _rows(spark, pairs, rnd=0):
 
 
 def test_base_tail_union_equals_appends(spark, mode_dir):
+    # the engine's canonical per-round protocol: stage -> compact -> commit
+    # (disk mode defers the durable delta write to the commit batch)
     st = _store(spark, merge_every=2, checkpoint_dir=mode_dir)
     seen = set()
     for rnd in range(5):
@@ -59,6 +61,7 @@ def test_base_tail_union_equals_appends(spark, mode_dir):
         seen.update(pairs)
         st.stage_append("url_seen", _rows(spark, pairs, rnd), rnd)
         st.compact(["url_seen"])
+        st.commit_round(rnd, {})
         got = {
             (r["domain_hash"], r["url_hash"]) for r in st.get("url_seen").collect()
         }
@@ -89,7 +92,9 @@ def test_base_join_has_no_base_exchange(spark, mode_dir):
         _rows(spark, [(d, 1000 * d + i) for d in range(8) for i in range(500)], 0),
         0,
     )
-    st.compact(["url_seen"])  # merge_every=1 -> folds straight into base
+    st.compact(["url_seen"])  # memory: merge_every=1 folds straight into base
+    st.commit_round(0, {})  # disk: the deferred delta becomes a durable tail
+    st.compact(["url_seen"])  # disk: the committed tail folds into the base
     base, tail = st.get_parts("url_seen")
     assert base is not None and tail is None
 
@@ -146,16 +151,58 @@ def test_disk_resume_reestablishes_base_partitioning(spark, tmp_path, backend):
 
     # append + merge after resume, commit, resume again: exactly-once rows
     st2.stage_append("url_seen", _rows(spark, [(3, 77)], 1), 1)
-    st2.compact(["url_seen"])  # merge_every=1 -> durable base rewrite
-    st2.commit_round(1, {})
+    st2.compact(["url_seen"])  # delta still staged (write deferred)
+    st2.commit_round(1, {})  # delta durable as a tail segment
+    st2.compact(["url_seen"])  # merge_every=1 -> durable base rewrite staged
+    st2.commit_round(2, {})  # manifest commit retires superseded segments
     st3 = _store(spark, merge_every=1, checkpoint_dir=ckpt)
     assert st3.get("url_seen").count() == len(rows) + 1
+
+
+def test_disk_appends_deferred_to_commit(spark, tmp_path):
+    """stage_append is lazy in disk mode: no durable segment exists until
+    commit_round writes the round's deltas as one concurrent batch (the
+    eager per-append parquet write was ~8-10 serial driver barriers per
+    round). Reads within the round still see the staged rows; a crash
+    before the commit loses only the uncommitted round, as before."""
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    st = make_state_store(
+        spark,
+        {"url_seen": schemas.URL_SEEN, "visits2": schemas.URL_SEEN},
+        checkpoint_dir=ckpt,
+        bucketed=BUCKETED,
+    )
+    st.stage_append("url_seen", _rows(spark, [(1, 11)], 0), 0)
+    st.stage_append("visits2", _rows(spark, [(2, 22)], 0), 0)
+    assert st.get("url_seen").count() == 1  # staged rows visible in-round
+    assert not os.path.isdir(os.path.join(ckpt, "url_seen"))
+    assert not os.path.isdir(os.path.join(ckpt, "visits2"))
+    # crash before commit: a fresh store sees nothing
+    st_crash = make_state_store(
+        spark, {"url_seen": schemas.URL_SEEN}, checkpoint_dir=ckpt,
+        bucketed=BUCKETED,
+    )
+    assert st_crash.get("url_seen").count() == 0
+    st.commit_round(0, {})
+    assert os.listdir(os.path.join(ckpt, "url_seen")) == ["round=0__s0"]
+    assert os.listdir(os.path.join(ckpt, "visits2")) == ["round=0__s0"]
+    st2 = make_state_store(
+        spark,
+        {"url_seen": schemas.URL_SEEN, "visits2": schemas.URL_SEEN},
+        checkpoint_dir=ckpt,
+        bucketed=BUCKETED,
+    )
+    assert st2.get("url_seen").count() == 1
+    assert st2.get("visits2").count() == 1
 
 
 def test_probe_flag_correct_across_base_and_tail(spark, mode_dir):
     st = _store(spark, merge_every=2, checkpoint_dir=mode_dir)
     st.stage_append("url_seen", _rows(spark, [(0, 1), (1, 2)], 0), 0)
     st.compact(["url_seen"])
+    st.commit_round(0, {})  # disk: deferred delta becomes the durable tail
     st.compact(["url_seen"])  # second compact triggers the merge -> base
     st.stage_append("url_seen", _rows(spark, [(2, 3)], 1), 1)  # tail-pending
     base, tail = st.get_parts("url_seen")
