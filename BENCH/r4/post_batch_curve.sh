@@ -1,0 +1,77 @@
+#!/bin/bash
+# Post-batching measurement queue (same health-gating protocol as
+# healthy_curve.sh): after the concurrent commit-batch statestore change
+# (42d45e5), re-measure the 250k-page fixture levels that round 4 already
+# measured pre-change, so the delta is attributable to the code:
+#   c1  -> pre-change healthy row 737.0 urls/s
+#   c2  -> pre-change healthy row 1,241.8 urls/s (1->2 eff was 0.84)
+#   c2 with AQE off -> experiment: AQE materializes every exchange of the
+#       round's state queries as its own scheduling-barrier job (~35
+#       jobs/round measured by tools/prof_jobs.py); this row prices that.
+#   c8, c4 -> re-probe the >=4-core self-degradation (badwindow evidence)
+# c1/c2 rows accept only on healthy own-probes (>=20k rt/s); c4/c8 rows
+# are kept regardless (their own window collapsing IS the finding) but
+# marked by their embedded probes.
+cd /root/repo
+export BENCH_DOMAINS=100 BENCH_PAGES_PER_DOMAIN=2500 BENCH_SKIP_QUERIES=1
+MIN_OK=30000
+LOG=BENCH/r4/post_batch.log
+
+probe() { python -c "import bench; print(bench.wake_rt_per_sec())"; }
+
+wait_healthy() {
+  while true; do
+    P=$(probe)
+    echo "$(date +%H:%M:%S) probe $P" >> "$LOG"
+    [ "$P" -ge "$MIN_OK" ] && return 0
+    sleep 120
+  done
+}
+
+accept() {
+  python - "$1" <<'PY'
+import json, sys
+lines = open(sys.argv[1]).read().strip().splitlines()
+if not lines: sys.exit(1)
+j = json.loads(lines[-1])
+w = j["crawl"]["wake_rt_per_sec"]
+ok = (w["before"] or 0) >= 20000 and (w["after"] or 0) >= 20000
+print(f'value={j["value"]} before={w["before"]} after={w["after"]} wall={j["crawl"]["wall_s"]} -> {"ACCEPT" if ok else "REJECT"}')
+sys.exit(0 if ok else 1)
+PY
+}
+
+run_gated() {  # $1=cores $2=suffix $3=extra-env k=v,k=v  (health-accepted)
+  local N=$1 SUF=$2 EXTRA=$3 LAST=$(( $1 - 1 ))
+  for try in 1 2 3 4; do
+    wait_healthy
+    echo "$(date +%H:%M:%S) launch c$N$SUF try $try" >> "$LOG"
+    local OUT=BENCH/r4/pb_c$N$SUF.out ERR=BENCH/r4/pb_c$N$SUF.err
+    env $(echo "$EXTRA" | tr ',' ' ') SPARK_GRAFT_CPUS=$N \
+      taskset -c 0-$LAST python bench.py > "$OUT" 2> "$ERR"
+    if accept "$OUT" >> "$LOG" 2>&1; then
+      echo "$(date +%H:%M:%S) c$N$SUF accepted" >> "$LOG"
+      return 0
+    fi
+    mv "$OUT" "BENCH/r4/pb_rej_c$N${SUF}_try$try.out"
+    mv "$ERR" "BENCH/r4/pb_rej_c$N${SUF}_try$try.err"
+  done
+  echo "$(date +%H:%M:%S) c$N$SUF gave up after 4 tries" >> "$LOG"
+}
+
+run_once() {  # $1=cores $2=suffix $3=extra-env  (kept regardless; gate launch only)
+  local N=$1 SUF=$2 EXTRA=$3 LAST=$(( $1 - 1 ))
+  wait_healthy
+  echo "$(date +%H:%M:%S) launch c$N$SUF (keep-any)" >> "$LOG"
+  env $(echo "$EXTRA" | tr ',' ' ') SPARK_GRAFT_CPUS=$N \
+    taskset -c 0-$LAST python bench.py \
+    > BENCH/r4/pb_c$N$SUF.out 2> BENCH/r4/pb_c$N$SUF.err
+  accept BENCH/r4/pb_c$N$SUF.out >> "$LOG" 2>&1 || true
+}
+
+run_gated 1 "" ""
+run_gated 2 "" ""
+run_gated 2 "_noaqe" "SPARK_GRAFT_CONF=spark.sql.adaptive.enabled=false"
+run_once 8 "" ""
+run_once 4 "" ""
+echo "$(date +%H:%M:%S) DONE" >> "$LOG"
