@@ -8,8 +8,11 @@ parse via the stdlib ``html.parser``, strict XML via ``ET.fromstring``) and
 evaluates both selector languages over it:
 
 - CSS subset: tag, ``*``, ``.class``, ``#id``, ``[attr]``, ``[attr=val]``,
-  ``[attr~=val]``, ``[attr^=]``/``[attr$=]``/``[attr*=]``, the structural
-  pseudo-classes ``:first-child``/``:last-child``/``:nth-child(an+b)`` and
+  ``[attr~=val]``, ``[attr^=]``/``[attr$=]``/``[attr*=]``/``[attr|=]``, the
+  structural pseudo-classes ``:first-child``/``:last-child``/
+  ``:nth-child(an+b)``/``:nth-last-child(an+b)``, the of-type family
+  (``:first-of-type``/``:last-of-type``/``:nth-of-type``/
+  ``:nth-last-of-type``), ``:only-child``/``:only-of-type``, ``:empty`` and
   ``:not(compound)``, compounds (``a.cls[href]:first-child``), descendant
   (space), child (``>``), adjacent-sibling (``+``) and general-sibling
   (``~``) combinators, and selector groups (``,``). Any other pseudo-class
@@ -139,7 +142,7 @@ _TOKEN = re.compile(
     (?P<tag>[a-zA-Z][\w-]*|\*)
   | \.(?P<cls>[\w-]+)
   | \#(?P<id>[\w-]+)
-  | \[(?P<attr>[\w-]+)\s*(?:(?P<op>[~^$*]?=)\s*(?P<q>["']?)(?P<val>[^\]"']*)(?P=q)\s*)?\]
+  | \[(?P<attr>[\w-]+)\s*(?:(?P<op>[~^$*|]?=)\s*(?P<q>["']?)(?P<val>[^\]"']*)(?P=q)\s*)?\]
   | :(?P<pseudo>[\w-]+)(?:\((?P<parg>[^()]*(?:\([^()]*\))?)\))?
     """,
     re.VERBOSE,
@@ -196,6 +199,25 @@ def _compile_compound(s: str) -> list[tuple]:
             elif name == "nth-child":
                 a, b = _parse_nth(parg or "")
                 tests.append(("nth", a, b))
+            elif name == "nth-last-child":
+                a, b = _parse_nth(parg or "")
+                tests.append(("nth_last", a, b))
+            elif name == "first-of-type":
+                tests.append(("nth_type", 0, 1))
+            elif name == "last-of-type":
+                tests.append(("last_type",))
+            elif name == "nth-of-type":
+                a, b = _parse_nth(parg or "")
+                tests.append(("nth_type", a, b))
+            elif name == "nth-last-of-type":
+                a, b = _parse_nth(parg or "")
+                tests.append(("nth_last_type", a, b))
+            elif name == "only-child":
+                tests.append(("only",))
+            elif name == "only-of-type":
+                tests.append(("only_type",))
+            elif name == "empty":
+                tests.append(("empty",))
             elif name == "not":
                 if not (parg or "").strip():
                     raise CssSelectorError(f"empty :not() in {s!r}")
@@ -260,6 +282,13 @@ def compile_css(selector: str) -> list[list[tuple]]:
     return chains
 
 
+def _nth_ok(a: int, b: int, pos1: int) -> bool:
+    """True iff 1-based ``pos1`` == a*k + b for some integer k >= 0."""
+    if a == 0:
+        return pos1 == b
+    return (pos1 - b) * a >= 0 and (pos1 - b) % a == 0
+
+
 def _matches_compound(el: ET.Element, tests: list[tuple], ctx: tuple) -> bool:
     """``ctx`` = (container, sib_idx) maps from css_select's structural pass
     — the positional pseudo-classes need the element's place among its
@@ -277,17 +306,44 @@ def _matches_compound(el: ET.Element, tests: list[tuple], ctx: tuple) -> bool:
             if el.get("id") != t[1]:
                 return False
         elif t[0] == "nth":
-            # position (1-based) must be a*k + b for some integer k >= 0
-            _, a, b = t
-            pos1 = sib_idx.get(id(el), 0) + 1
-            if a == 0:
-                if pos1 != b:
-                    return False
-            elif (pos1 - b) * a < 0 or (pos1 - b) % a != 0:
+            if not _nth_ok(t[1], t[2], sib_idx.get(id(el), 0) + 1):
+                return False
+        elif t[0] == "nth_last":
+            cont = container.get(id(el))
+            if cont is None or not _nth_ok(
+                t[1], t[2], len(cont) - sib_idx.get(id(el), 0)
+            ):
                 return False
         elif t[0] == "last":
             cont = container.get(id(el))
             if cont is None or sib_idx.get(id(el), 0) != len(cont) - 1:
+                return False
+        elif t[0] == "only":
+            cont = container.get(id(el))
+            if cont is None or len(cont) != 1:
+                return False
+        elif t[0] in ("nth_type", "nth_last_type", "last_type", "only_type"):
+            # position among same-TAG element siblings (CSS "type")
+            cont = container.get(id(el))
+            if cont is None:
+                return False
+            same = [c for c in cont if c.tag == el.tag]
+            pos1 = next(i for i, c in enumerate(same, 1) if c is el)
+            if t[0] == "nth_type":
+                if not _nth_ok(t[1], t[2], pos1):
+                    return False
+            elif t[0] == "nth_last_type":
+                if not _nth_ok(t[1], t[2], len(same) - pos1 + 1):
+                    return False
+            elif t[0] == "last_type":
+                if pos1 != len(same):
+                    return False
+            elif len(same) != 1:  # only_type
+                return False
+        elif t[0] == "empty":
+            # cascadia semantics: no element children, no non-whitespace
+            # direct text (whitespace-only text nodes don't count)
+            if len(el) > 0 or (el.text or "").strip():
                 return False
         elif t[0] == "not":
             if _matches_compound(el, t[1], ctx):
@@ -308,6 +364,8 @@ def _matches_compound(el: ET.Element, tests: list[tuple], ctx: tuple) -> bool:
             if op == "$=" and not got.endswith(val):
                 return False
             if op == "*=" and val not in got:
+                return False
+            if op == "|=" and got != val and not got.startswith(val + "-"):
                 return False
     return True
 

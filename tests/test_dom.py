@@ -97,7 +97,7 @@ def test_css_unsupported_raises():
     with pytest.raises(dom.CssSelectorError):
         dom.compile_css("a:hover")  # non-structural pseudo stays rejected
     with pytest.raises(dom.CssSelectorError):
-        dom.compile_css("p:nth-of-type(2)")
+        dom.compile_css("input:checked")  # UI-state pseudo stays rejected
     with pytest.raises(dom.CssSelectorError):
         dom.compile_css("p:nth-child(2 of .x)")  # CSS4 'of' form
     with pytest.raises(dom.CssSelectorError):
@@ -135,6 +135,40 @@ def test_css_pseudo_classes():
     assert _texts(root, "ul#u1 > li.x:nth-child(2)") == ["b"]
     # p:first-child must NOT match a p whose previous sibling is a span
     assert _texts(root, "p:first-child") == []
+
+
+OF_TYPE = """
+<div id="m"><span>s1</span><p>p1</p><span>s2</span><p>p2</p><p>p3</p><em>e1</em></div>
+<div id="n"><p>q1</p></div>
+<div id="e"><i></i><i> </i><i>t</i><b><u></u></b></div>
+<div id="l"><p lang="en">l1</p><p lang="en-US">l2</p><p lang="enx">l3</p></div>
+"""
+
+
+def test_css_of_type_family_and_empty():
+    root = dom.parse_html(OF_TYPE)
+    # *-of-type counts position among same-TAG element siblings only
+    assert _texts(root, "#m p:first-of-type") == ["p1"]
+    assert _texts(root, "#m p:last-of-type") == ["p3"]
+    assert _texts(root, "#m span:last-of-type") == ["s2"]
+    assert _texts(root, "#m p:nth-of-type(2)") == ["p2"]
+    assert _texts(root, "#m p:nth-last-of-type(1)") == ["p3"]
+    assert _texts(root, "#m p:nth-of-type(odd)") == ["p1", "p3"]
+    assert _texts(root, "#m em:only-of-type") == ["e1"]
+    assert _texts(root, "#m p:only-of-type") == []
+    # only-child: sole ELEMENT child of its parent
+    assert _texts(root, "#n p:only-child") == ["q1"]
+    assert _texts(root, "#m p:only-child") == []
+    # nth-last-child counts from the end per parent (NTH: u1 has 5, u2 has 2)
+    nth = dom.parse_html(NTH)
+    assert _texts(nth, "li:nth-last-child(1)") == ["e", "g"]
+    assert _texts(nth, "li:nth-last-child(2n)") == ["b", "d", "f"]
+    # :empty — no element children, no non-whitespace direct text
+    # (cascadia semantics: whitespace-only text nodes don't count)
+    empties = dom.css_select(root, "#e :empty")
+    assert [e.tag for e in empties] == ["i", "i", "u"]
+    # [attr|=] dash-match: exact value or value + '-' prefix
+    assert _texts(root, '#l p[lang|="en"]') == ["l1", "l2"]
 
 
 def test_css_pseudo_with_combinators():
