@@ -29,8 +29,13 @@ evaluates both selector languages over it:
   to ITS parent — which is exactly XPath 1.0's semantics for an unaxised
   step) — the forms colly's own tests exercise (colly_test.go:1573-1631)
   — delegated to ElementTree's ElementPath after a small translation.
-  Axes (``following::`` etc.) and mid-path ``contains()`` raise ValueError
-  (loud reject, documented divergence from xmlquery's full XPath 1.0).
+  On top of ElementPath, a stepwise evaluator handles ``contains()``
+  predicates in ANY step (``//a[contains(@href,'x')]/span``) and the
+  ``parent::``/``..``/``self::``/``following-sibling::``/
+  ``preceding-sibling::`` axes with simple predicates. The remaining
+  XPath 1.0 surface (``ancestor::``/``following::`` tree axes, functions
+  beyond contains) raises ValueError (loud reject, documented divergence
+  from xmlquery's full XPath 1.0).
 
 Everything here is pure Python over one in-memory tree per document; the
 Spark side calls it from an Arrow-batched pandas UDF (one parse per page,
@@ -453,12 +458,18 @@ def css_select(root: ET.Element, selector: str | list) -> list[ET.Element]:
 
 
 _XP_ATTR_TAIL = re.compile(r"/@([\w:-]+)$")
-_XP_CONTAINS = re.compile(
-    r"\[contains\((@[\w:-]+|text\(\)|\.),\s*(['\"])(.*?)\2\)\]$"
+_XP_CONTAINS_PRED = re.compile(
+    r"^contains\((@[\w:-]+|text\(\)|\.)\s*,\s*(['\"])(.*?)\2\)$"
 )
+_XP_AXIS_STEP = re.compile(
+    r"^(following-sibling|preceding-sibling|parent|self)::(\*|[\w:-]+)(.*)$"
+)
+_XP_PRED = re.compile(r"\[([^\[\]]*)\]")
 
 
 def _xpath_elements(root: ET.Element, p: str) -> list[ET.Element]:
+    if "contains(" in p or "::" in p or ".." in p:
+        return _xpath_steps_eval(root, p)
     try:
         if p.startswith("//"):
             return root.findall("." + p)  # './/x' anywhere
@@ -468,9 +479,169 @@ def _xpath_elements(root: ET.Element, p: str) -> list[ET.Element]:
             return root.findall(p.lstrip("/"))
         return root.findall(p)
     except SyntaxError as e:
-        # axes (following::, ancestor::, ...) and other full-XPath-1.0
-        # forms xmlquery would evaluate (xmlelement.go:26-42): loud reject
+        # full-XPath-1.0 forms beyond the stepwise evaluator's surface
+        # (xmlquery evaluates all of XPath 1.0, xmlelement.go:26-42):
+        # loud reject
         raise ValueError(f"unsupported XPath {p!r}: {e}") from None
+
+
+def _xpath_split_steps(p: str) -> list[tuple[bool, str]]:
+    """Path -> [(descendant_axis, step_text)] ('//x/y//z' splits on '/'
+    outside predicates; a '//' separator marks its right-hand step)."""
+    steps: list[tuple[bool, str]] = []
+    desc = False
+    i = 0
+    if p.startswith("//"):
+        desc, i = True, 2
+    elif p.startswith("/"):
+        i = 1
+    buf: list[str] = []
+    depth = 0
+    n = len(p)
+    while i < n:
+        ch = p[i]
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+        if ch == "/" and depth == 0:
+            steps.append((desc, "".join(buf)))
+            buf = []
+            if i + 1 < n and p[i + 1] == "/":
+                desc, i = True, i + 2
+            else:
+                desc, i = False, i + 1
+            continue
+        buf.append(ch)
+        i += 1
+    steps.append((desc, "".join(buf)))
+    if any(not s.strip() for _, s in steps):
+        raise ValueError(f"empty step in XPath {p!r}")
+    return steps
+
+
+def _xpath_apply_preds(
+    cand: list[ET.Element], preds_s: str, path: str, allow_positional: bool = True
+) -> list[ET.Element]:
+    """Apply a step's ``[...]`` predicates in order to a candidate list that
+    is already in this step's axis order for ONE context node — so a
+    positional ``[n]`` is XPath's per-context position (and counts from the
+    nearest sibling on the reverse ``preceding-sibling::`` axis)."""
+    pos = 0
+    s = preds_s.strip()
+    while pos < len(s):
+        m = _XP_PRED.match(s, pos)
+        if m is None:
+            raise ValueError(f"unsupported predicate syntax in XPath {path!r}")
+        body = m.group(1).strip()
+        pos = m.end()
+        mc = _XP_CONTAINS_PRED.match(body)
+        if mc:
+            subj, needle = mc.group(1), mc.group(3)
+            if subj == "text()":
+                cand = [e for e in cand if needle in _direct_text(e)]
+            elif subj == ".":
+                cand = [e for e in cand if needle in text_content(e)]
+            else:
+                cand = [
+                    e for e in cand
+                    if e.get(subj[1:]) is not None and needle in e.get(subj[1:])
+                ]
+        elif re.fullmatch(r"\d+", body):
+            if not allow_positional:
+                # '//x[contains(...)][n]': XPath's proximity rule makes the
+                # position per PARENT, not per context subtree — reject
+                # rather than silently diverge
+                raise ValueError(
+                    f"positional predicate after '//'+contains() in {path!r}"
+                )
+            k = int(body)
+            cand = [cand[k - 1]] if len(cand) >= k else []
+        elif body == "last()":
+            if not allow_positional:
+                raise ValueError(
+                    f"positional predicate after '//'+contains() in {path!r}"
+                )
+            cand = cand[-1:]
+        elif re.fullmatch(r"@[\w:-]+", body):
+            cand = [e for e in cand if e.get(body[1:]) is not None]
+        else:
+            mm = re.fullmatch(r"@([\w:-]+)\s*=\s*(['\"])(.*?)\2", body)
+            if mm:
+                cand = [e for e in cand if e.get(mm.group(1)) == mm.group(3)]
+            else:
+                raise ValueError(f"unsupported predicate [{body}] in XPath {path!r}")
+    return cand
+
+
+def _xpath_steps_eval(root: ET.Element, p: str) -> list[ET.Element]:
+    """Stepwise evaluation for paths ElementPath can't take whole: steps
+    with ``contains()`` predicates and the parent/self/sibling axes. Each
+    step maps the current node-set through its axis per context node, then
+    dedups and re-sorts to document order (XPath node-set semantics)."""
+    doc_order = {id(e): i for i, e in enumerate(root.iter())}
+    parent_of: dict[int, ET.Element] = {
+        id(c): par for par in root.iter() for c in par
+    }
+    nodes: list[ET.Element] = [root]
+    for desc, raw in _xpath_split_steps(p):
+        step = raw.strip()
+        nxt: list[ET.Element] = []
+        if step == "..":
+            step = "parent::*"
+        ma = _XP_AXIS_STEP.match(step)
+        if ma:
+            axis, tag, preds = ma.group(1), ma.group(2), ma.group(3)
+            if desc:
+                raise ValueError(f"'//' before an axis step in XPath {p!r}")
+            for node in nodes:
+                par = parent_of.get(id(node))
+                if axis == "self":
+                    cand = [node]
+                elif axis == "parent":
+                    cand = [par] if par is not None and par.tag != "__root__" else []
+                elif par is None:
+                    cand = []
+                else:
+                    sibs = list(par)
+                    at = next(i for i, s in enumerate(sibs) if s is node)
+                    cand = (
+                        sibs[at + 1:]
+                        if axis == "following-sibling"
+                        else sibs[at - 1::-1] if at else []
+                    )
+                if tag != "*":
+                    cand = [e for e in cand if e.tag == tag]
+                nxt.extend(_xpath_apply_preds(cand, preds, p))
+        elif "contains(" in step:
+            mt = re.match(r"^(\*|[\w:-]+)(.*)$", step)
+            if mt is None:
+                raise ValueError(f"unsupported step {step!r} in XPath {p!r}")
+            tag, preds = mt.group(1), mt.group(2)
+            for node in nodes:
+                cand = node.findall(f".//{tag}" if desc else tag)
+                nxt.extend(
+                    _xpath_apply_preds(cand, preds, p, allow_positional=not desc)
+                )
+        else:
+            if "::" in step:
+                # unhandled axis (ancestor::, following::, ...): ElementPath
+                # would silently treat it as a tag name and match nothing
+                raise ValueError(f"unsupported axis step {step!r} in XPath {p!r}")
+            pat = (".//" if desc else "") + step
+            try:
+                for node in nodes:
+                    nxt.extend(node.findall(pat))
+            except SyntaxError as e:
+                raise ValueError(f"unsupported XPath {p!r}: {e}") from None
+        seen: set[int] = set()
+        nodes = []
+        for e in nxt:
+            if id(e) not in seen:
+                seen.add(id(e))
+                nodes.append(e)
+        nodes.sort(key=lambda e: doc_order.get(id(e), 1 << 30))
+    return nodes
 
 
 def xpath_select(root: ET.Element, xpath: str) -> list:
@@ -486,10 +657,11 @@ def xpath_select(root: ET.Element, xpath: str) -> list:
       results — the sitemap idiom ``//loc/text()``, xmlelement.go:26-42's
       xmlquery evaluates full XPath 1.0);
     - ``.../@attr`` returns attribute value strings (``//img/@src``);
-    - a final-step ``[contains(@attr, 'v')]`` / ``[contains(text(), 'v')]``
-      / ``[contains(., 'v')]`` predicate filters the match set (the most
-      common non-ElementPath predicate; mid-path contains is not
-      supported and raises).
+    - ``[contains(@attr, 'v')]`` / ``[contains(text(), 'v')]`` /
+      ``[contains(., 'v')]`` predicates in ANY step, and the
+      ``..``/``parent::``/``self::``/``following-sibling::``/
+      ``preceding-sibling::`` axes, via the stepwise evaluator
+      (:func:`_xpath_steps_eval`).
     """
     p = xpath.strip()
     tail = None  # ('text',) | ('attr', name)
@@ -501,27 +673,7 @@ def xpath_select(root: ET.Element, xpath: str) -> list:
         if m:
             tail = ("attr", m.group(1))
             p = p[: m.start()]
-    pred = None
-    m = _XP_CONTAINS.search(p)
-    if m:
-        pred = (m.group(1), m.group(3))
-        p = p[: m.start()]
-    if "contains(" in p:
-        raise ValueError(
-            f"contains() is only supported in the final step: {xpath!r}"
-        )
     els = _xpath_elements(root, p)
-    if pred is not None:
-        subj, needle = pred
-        if subj == "text()":
-            els = [e for e in els if needle in _direct_text(e)]
-        elif subj == ".":
-            els = [e for e in els if needle in text_content(e)]
-        else:
-            els = [
-                e for e in els
-                if e.get(subj[1:]) is not None and needle in e.get(subj[1:])
-            ]
     if tail is None:
         return els
     if tail[0] == "text":

@@ -455,8 +455,8 @@ def test_follow_extractor_feeds_links():
 
 def test_xpath_text_attr_contains():
     """XPath depth beyond colly's own test forms (xmlelement.go:26-42
-    evaluates full XPath 1.0): //x/text(), //x/@attr, final-step
-    contains()."""
+    evaluates full XPath 1.0): //x/text(), //x/@attr, contains()
+    predicates in any step."""
     xml = (
         "<urlset>"
         "<url><loc>http://a.test/1</loc><pri>0.5</pri></url>"
@@ -476,10 +476,49 @@ def test_xpath_text_attr_contains():
     assert [e.get("href") for e in got] == ["/dl/x"]
     assert [e.tag for e in dom.xpath_select(html, '//p[contains(@class, "alert")]')] == ["p"]
     assert dom.xpath_select(html, '//a[contains(text(), "vie")]/@href') == ["/page/y"]
-    import pytest
+    # mid-path contains: the predicate filters that step, the path continues
+    assert dom.xpath_select(html, '//div[contains(@class, "x")]/a') == []
+    html2 = dom.parse_html(
+        '<div class="box wide"><a href="/in">i</a></div>'
+        '<div class="box"><a href="/out">o</a></div>'
+    )
+    assert dom.xpath_select(html2, '//div[contains(@class, "wide")]/a/@href') == ["/in"]
+    # contains stacked with an attr-equality predicate in the same step
+    assert dom.xpath_select(
+        html2, '//div[contains(@class, "box")][@class="box"]/a/@href'
+    ) == ["/out"]
 
-    with pytest.raises(ValueError):
-        dom.xpath_select(html, '//div[contains(@class, "x")]/a')
+
+def test_xpath_sibling_parent_axes():
+    """parent::/../self::/following-sibling::/preceding-sibling:: with
+    simple predicates; positional [n] counts along the axis direction
+    (nearest-first on the reverse preceding-sibling axis), XPath 1.0
+    semantics. Deeper tree axes stay loud-rejected
+    (test_xpath_axes_rejected_loudly)."""
+    xml = (
+        "<r>"
+        "<item><k>1</k><a>A1</a><b>B1</b><a>A2</a></item>"
+        "<item><k>2</k><a>A3</a></item>"
+        "</r>"
+    )
+    tree = dom.parse_xml(xml)
+    # following-sibling from each <k>
+    assert dom.xpath_select(tree, "//k/following-sibling::a/text()") == [
+        "A1", "A2", "A3",
+    ]
+    assert dom.xpath_select(tree, "//k/following-sibling::a[1]/text()") == [
+        "A1", "A3",
+    ]
+    assert dom.xpath_select(tree, "//b/preceding-sibling::a/text()") == ["A1"]
+    # parent:: and '..' climb one level; node-set dedups
+    assert [e.tag for e in dom.xpath_select(tree, "//a/parent::item")] == [
+        "item", "item",
+    ]
+    assert [e.tag for e in dom.xpath_select(tree, "//a/..")] == ["item", "item"]
+    assert dom.xpath_select(tree, "//b/../k/text()") == ["1"]
+    # self:: with a predicate filters in place
+    assert dom.xpath_select(tree, "//item/self::item[@missing]") == []
+    assert len(dom.xpath_select(tree, "//item/self::item")) == 2
 
 
 def test_xpath_positional_predicates():
