@@ -12,8 +12,11 @@ evaluates both selector languages over it:
   structural pseudo-classes ``:first-child``/``:last-child``/
   ``:nth-child(an+b)``/``:nth-last-child(an+b)``, the of-type family
   (``:first-of-type``/``:last-of-type``/``:nth-of-type``/
-  ``:nth-last-of-type``), ``:only-child``/``:only-of-type``, ``:empty`` and
-  ``:not(compound)``, compounds (``a.cls[href]:first-child``), descendant
+  ``:nth-last-of-type``), ``:only-child``/``:only-of-type``, ``:empty``,
+  ``:not(compound)``, and cascadia's jQuery-extension pseudos
+  ``:contains("text")`` (case-insensitive substring over text content) and
+  ``:has(selector)`` (descendant exists — subtree-scoped), compounds
+  (``a.cls[href]:first-child``), descendant
   (space), child (``>``), adjacent-sibling (``+``) and general-sibling
   (``~``) combinators, and selector groups (``,``). Any other pseudo-class
   raises ``CssSelectorError`` (loud reject — silent non-matching would
@@ -148,7 +151,7 @@ _TOKEN = re.compile(
   | \.(?P<cls>[\w-]+)
   | \#(?P<id>[\w-]+)
   | \[(?P<attr>[\w-]+)\s*(?:(?P<op>[~^$*|]?=)\s*(?P<q>["']?)(?P<val>[^\]"']*)(?P=q)\s*)?\]
-  | :(?P<pseudo>[\w-]+)(?:\((?P<parg>[^()]*(?:\([^()]*\))?)\))?
+  | :(?P<pseudo>[\w-]+)(?:\((?P<parg>[^()]*(?:\([^()]*\)[^()]*)*)\))?
     """,
     re.VERBOSE,
 )
@@ -223,6 +226,20 @@ def _compile_compound(s: str) -> list[tuple]:
                 tests.append(("only_type",))
             elif name == "empty":
                 tests.append(("empty",))
+            elif name == "contains":
+                # cascadia's jQuery-extension :contains("text"): substring
+                # over the element's full text content, both sides
+                # lowercased (selector.go textSubstrSelector)
+                v = (parg or "").strip()
+                if len(v) >= 2 and v[0] in "\"'" and v[-1] == v[0]:
+                    v = v[1:-1]
+                tests.append(("text_contains", v.lower()))
+            elif name == "has":
+                # cascadia's :has(selector): any DESCENDANT matches the
+                # inner selector group (evaluated scoped to the subtree)
+                if not (parg or "").strip():
+                    raise CssSelectorError(f"empty :has() in {s!r}")
+                tests.append(("has", compile_css(parg.strip())))
             elif name == "not":
                 if not (parg or "").strip():
                     raise CssSelectorError(f"empty :not() in {s!r}")
@@ -349,6 +366,12 @@ def _matches_compound(el: ET.Element, tests: list[tuple], ctx: tuple) -> bool:
             # cascadia semantics: no element children, no non-whitespace
             # direct text (whitespace-only text nodes don't count)
             if len(el) > 0 or (el.text or "").strip():
+                return False
+        elif t[0] == "text_contains":
+            if t[1] not in text_content(el).lower():
+                return False
+        elif t[0] == "has":
+            if not css_select(el, t[1]):
                 return False
         elif t[0] == "not":
             if _matches_compound(el, t[1], ctx):

@@ -171,6 +171,32 @@ def test_css_of_type_family_and_empty():
     assert _texts(root, '#l p[lang|="en"]') == ["l1", "l2"]
 
 
+def test_css_contains_and_has():
+    """cascadia's jQuery-extension pseudos (goquery dispatches through
+    cascadia's full matcher, colly.go:1219-1237): :contains("text") is a
+    case-insensitive substring over the element's text content (descendants
+    included); :has(sel) is a subtree-scoped descendant-exists test."""
+    root = dom.parse_html(
+        '<ul><li><a href="/1">Download Now</a></li>'
+        "<li><span>plain</span></li>"
+        '<li class="x"><em>download</em> later</li></ul>'
+    )
+    # matches descendants' text, lowercased both sides
+    assert _texts(root, 'a:contains("download")') == ["Download Now"]
+    assert _texts(root, "li:contains(download)") == ["Download Now", "download later"]
+    # :has scopes to the subtree; composes with other simple selectors
+    assert _texts(root, "li:has(a)") == ["Download Now"]
+    assert _texts(root, "li:has(em):not(.y)") == ["download later"]
+    assert _texts(root, "ul:has(li.x em)") == ["Download Nowplaindownload later"]
+    assert _texts(root, "li:has(div)") == []
+    # :has never matches the element itself, only descendants
+    assert _texts(root, "em:has(em)") == []
+    import pytest
+
+    with pytest.raises(dom.CssSelectorError):
+        dom.compile_css("li:has()")
+
+
 def test_css_pseudo_with_combinators():
     # the VERDICT's done-criterion: combinator interaction
     html = (
