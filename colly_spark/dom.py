@@ -33,12 +33,15 @@ evaluates both selector languages over it:
   step) — the forms colly's own tests exercise (colly_test.go:1573-1631)
   — delegated to ElementTree's ElementPath after a small translation.
   On top of ElementPath, a stepwise evaluator handles ``contains()``
-  predicates in ANY step (``//a[contains(@href,'x')]/span``) and the
-  ``parent::``/``..``/``self::``/``following-sibling::``/
-  ``preceding-sibling::`` axes with simple predicates. The remaining
-  XPath 1.0 surface (``ancestor::``/``following::`` tree axes, functions
-  beyond contains) raises ValueError (loud reject, documented divergence
-  from xmlquery's full XPath 1.0).
+  predicates in ANY step (``//a[contains(@href,'x')]/span``) and the full
+  XPath 1.0 element-axis set — ``parent::``/``..``/``self::``,
+  ``following-sibling::``/``preceding-sibling::``,
+  ``ancestor(-or-self)::``/``descendant(-or-self)::``,
+  ``following::``/``preceding::`` — with simple predicates (positional
+  indexes count along the axis direction, nearest-first on reverse axes).
+  The remaining XPath 1.0 surface (attribute/namespace axes as steps,
+  functions beyond contains) raises ValueError (loud reject, documented
+  divergence from xmlquery's full XPath 1.0).
 
 Everything here is pure Python over one in-memory tree per document; the
 Spark side calls it from an Arrow-batched pandas UDF (one parse per page,
@@ -485,7 +488,9 @@ _XP_CONTAINS_PRED = re.compile(
     r"^contains\((@[\w:-]+|text\(\)|\.)\s*,\s*(['\"])(.*?)\2\)$"
 )
 _XP_AXIS_STEP = re.compile(
-    r"^(following-sibling|preceding-sibling|parent|self)::(\*|[\w:-]+)(.*)$"
+    r"^(following-sibling|preceding-sibling|following|preceding|parent"
+    r"|ancestor-or-self|ancestor|descendant-or-self|descendant|self)"
+    r"::(\*|[\w:-]+)(.*)$"
 )
 _XP_PRED = re.compile(r"\[([^\[\]]*)\]")
 
@@ -623,6 +628,39 @@ def _xpath_steps_eval(root: ET.Element, p: str) -> list[ET.Element]:
                     cand = [node]
                 elif axis == "parent":
                     cand = [par] if par is not None and par.tag != "__root__" else []
+                elif axis in ("ancestor", "ancestor-or-self"):
+                    # reverse axis: nearest-first ([1] is the closest)
+                    cand = [node] if axis == "ancestor-or-self" else []
+                    anc = par
+                    while anc is not None and anc.tag != "__root__":
+                        cand.append(anc)
+                        anc = parent_of.get(id(anc))
+                elif axis in ("descendant", "descendant-or-self"):
+                    cand = list(node.iter())  # doc order, self first
+                    if axis == "descendant":
+                        cand = cand[1:]
+                elif axis in ("following", "preceding"):
+                    at = doc_order.get(id(node), 0)
+                    if axis == "following":
+                        # doc order after the node, minus its own subtree
+                        sub = {id(e) for e in node.iter()}
+                        cand = [
+                            e for e in root.iter()
+                            if doc_order[id(e)] > at and id(e) not in sub
+                        ]
+                    else:
+                        # reverse axis: before the node, minus its
+                        # ancestors, nearest-first
+                        anc = set()
+                        a = par
+                        while a is not None:
+                            anc.add(id(a))
+                            a = parent_of.get(id(a))
+                        cand = [
+                            e for e in root.iter()
+                            if doc_order[id(e)] < at and id(e) not in anc
+                            and e.tag != "__root__"
+                        ][::-1]
                 elif par is None:
                     cand = []
                 else:
@@ -681,9 +719,10 @@ def xpath_select(root: ET.Element, xpath: str) -> list:
       xmlquery evaluates full XPath 1.0);
     - ``.../@attr`` returns attribute value strings (``//img/@src``);
     - ``[contains(@attr, 'v')]`` / ``[contains(text(), 'v')]`` /
-      ``[contains(., 'v')]`` predicates in ANY step, and the
-      ``..``/``parent::``/``self::``/``following-sibling::``/
-      ``preceding-sibling::`` axes, via the stepwise evaluator
+      ``[contains(., 'v')]`` predicates in ANY step, and the full XPath 1.0
+      element-axis set (``..``/``parent``/``self``, the sibling axes,
+      ``ancestor(-or-self)``/``descendant(-or-self)``,
+      ``following``/``preceding``), via the stepwise evaluator
       (:func:`_xpath_steps_eval`).
     """
     p = xpath.strip()

@@ -570,14 +570,47 @@ def test_xpath_positional_predicates():
     assert dom.xpath_select(html, "//li[2]/a/@href") == ["/b"]
 
 
-def test_xpath_axes_rejected_loudly():
-    """Axes are full-XPath-1.0 surface xmlquery has and ElementPath lacks
-    (xmlelement.go:26-42) — rejected with ValueError, never a silent []."""
+def test_xpath_tree_axes():
+    """The deep tree axes (ancestor, descendant, following, preceding and
+    the -or-self forms) — full XPath 1.0 surface xmlquery evaluates
+    (xmlelement.go:26-42)."""
+    xml = (
+        "<r><s><a><x>inA</x></a><m/></s>"
+        "<t><b/><n><y/></n></t></r>"
+    )
+    tree = dom.parse_xml(xml)
+    # ancestor: nearest-first reverse axis; [1] is the closest match
+    assert [e.tag for e in dom.xpath_select(tree, "//x/ancestor::*")] == [
+        "r", "s", "a",  # node-set re-sorts to document order
+    ]
+    assert [e.tag for e in dom.xpath_select(tree, "//x/ancestor::*[1]")] == ["a"]
+    assert [e.tag for e in dom.xpath_select(tree, "//x/ancestor-or-self::*[1]")] == ["x"]
+    # descendant excludes self; descendant-or-self includes it
+    assert [e.tag for e in dom.xpath_select(tree, "/r/t/descendant::*")] == [
+        "b", "n", "y",
+    ]
+    assert [e.tag for e in dom.xpath_select(tree, "/r/t/descendant-or-self::*")] == [
+        "t", "b", "n", "y",
+    ]
+    # following: document order after the node, its own subtree excluded;
+    # preceding: before the node, ancestors excluded
+    assert [e.tag for e in dom.xpath_select(tree, "//a/following::*")] == [
+        "m", "t", "b", "n", "y",
+    ]
+    assert [e.tag for e in dom.xpath_select(tree, "//n/preceding::*")] == [
+        "s", "a", "x", "m", "b",
+    ]
+    assert [e.tag for e in dom.xpath_select(tree, "//n/preceding::*[1]")] == ["b"]
+
+
+def test_xpath_unsupported_rejected_loudly():
+    """Whatever the evaluator does not implement raises ValueError, never a
+    silent [] (a typo'd selector must not look like an empty page)."""
     import pytest
 
     tree = dom.parse_xml("<r><a/><b/></r>")
-    for bad in ("//a/following::b", "//a/ancestor::r",
-                '//a[contains(@href,"x")]/following::b'):
+    for bad in ("//a/namespace::x", "//a[starts-with(@href, 'x')]",
+                "//a/attribute::href/parent::a"):
         with pytest.raises(ValueError):
             dom.xpath_select(tree, bad)
 
