@@ -222,6 +222,22 @@ def q_quality_scoring(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID heuristic (stopword-hit ratio; reference analog: the
+    text-pipeline ops the brief lists) rolled up per language. The ratio is
+    an exact small-integer division in IEEE double in both engines, so the
+    0.02 threshold compares identically."""
+    from colly_spark.functions.text import lang_id
+
+    d = _read(spark, sf, "documents")
+    return (
+        d.select(lang_id(F.col("text")).alias("lang"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
 def q_ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     from colly_spark.functions.similarity import brute_force_topk
 
@@ -304,6 +320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_text_stats": q_text_stats,
         "q_quality_scoring": q_quality_scoring,
+        "q_lang_id": q_lang_id,
         "q_ann_bruteforce": q_ann_bruteforce,
         "q_ann_ivf": q_ann_ivf,
         "q_embedding_neardup": q_embedding_neardup,
@@ -404,6 +421,15 @@ def oracle_sql() -> dict[str, str]:
                          / GREATEST(len(regexp_split_to_array(trim(text), '\\s+')), 1)::DOUBLE,
                          6) AS stopword_ratio
             FROM documents
+        """,
+        "q_lang_id": f"""
+            SELECT CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                             w -> list_contains({STOPWORDS_SQL}, w)))
+                             / GREATEST(len(regexp_split_to_array(trim(text), '\\s+')), 1)::DOUBLE
+                             > 0.02
+                        THEN 'en' ELSE 'und' END AS lang,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY 1 ORDER BY lang
         """,
         "q_ann_bruteforce": """
             SELECT query_id, neighbor_id, rank FROM (

@@ -182,6 +182,18 @@ class CrawlConfig:
 
     # engine knobs (no reference analog; scale controls)
     shuffle_partitions: int = 32
+    # Per-round AQE policy. AQE's value (partition coalescing, skew splits,
+    # runtime broadcast) scales with the round's DATA size, but its cost is
+    # CONSTANT per exchange: every shuffle stage of every state query
+    # becomes its own driver-side scheduling-barrier job (~35 jobs/round
+    # measured by tools/prof_jobs.py). For small rounds that barrier chain
+    # dominates: the identical 250k-page crawl measured 565.7 urls/s with
+    # AQE on vs 1,183.8 with it off, back-to-back (BENCH/BASELINE.md r4).
+    # The engine therefore sets spark.sql.adaptive.enabled per round:
+    # ON when the round's frontier is at least this many rows (the 100-TB
+    # regime, where a 10^10-URL frontier needs skew handling), OFF below
+    # it. 0 = never manage (leave the session setting untouched).
+    adaptive_min_round_rows: int = 10_000_000
     seen_bloom_enabled: bool = True  # Bloom pre-filter in front of the exact anti-join
     # adaptive activation: below this many cumulative enqueued requests the
     # exact anti-join is strictly cheaper than filter maintenance + probe

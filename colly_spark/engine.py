@@ -649,20 +649,39 @@ class Crawler:
             self.store.counters = {"built": 0, "fetched": 0}
         rnd = start_round
         first = True
-        while rnd < limit:
-            new_cands = self.store.get("candidates")
-            pending = self.store.get("pending")
-            if first:
-                # one-time emptiness probe (fresh start / resume); afterwards
-                # the previous round's own counts drive termination — no
-                # extra actions per round
-                if _is_empty(new_cands) and _is_empty(pending):
+        # per-round AQE policy (config.adaptive_min_round_rows): AQE's
+        # per-exchange scheduling-barrier jobs dominate small rounds
+        # (measured 2.1x whole-crawl wall on a 250k fixture, BENCH r4)
+        # while its coalescing/skew value needs big ones — decide from the
+        # round's frontier size, restore the session setting afterwards
+        aqe_orig = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        try:
+            while rnd < limit:
+                new_cands = self.store.get("candidates")
+                pending = self.store.get("pending")
+                round_rows: int | None = None
+                if first:
+                    # one-time probe (fresh start / resume): the frontier
+                    # row count, which doubles as the emptiness check;
+                    # afterwards the previous round's own counts drive both
+                    # — no extra actions per round
+                    round_rows = _count(new_cands) + self.store.counters.get(
+                        "pending", 0
+                    )
+                    if round_rows == 0 and _is_empty(pending):
+                        break
+                    first = False
+                elif self.stats and self.stats[-1].children == 0 and self.stats[-1].deferred == 0:
                     break
-                first = False
-            elif self.stats and self.stats[-1].children == 0 and self.stats[-1].deferred == 0:
-                break
-            self._run_round(new_cands, pending, rnd)
-            rnd += 1
+                else:
+                    s = self.stats[-1] if self.stats else None
+                    if s is not None:
+                        round_rows = s.children + s.deferred
+                self._set_round_aqe(round_rows, aqe_orig)
+                self._run_round(new_cands, pending, rnd)
+                rnd += 1
+        finally:
+            self.spark.conf.set("spark.sql.adaptive.enabled", aqe_orig)
         self._flush_pins(final=True)
         return {
             "visits": self.store.get("visits"),
@@ -675,6 +694,29 @@ class Crawler:
             "fetch_cache": self.store.get("fetch_cache"),
             "cookies": self.store.get("cookies"),
         }
+
+    def _set_round_aqe(self, round_rows: int | None, session_default: str) -> None:
+        """Set spark.sql.adaptive.enabled for the coming round.
+
+        AQE materializes every exchange of every state query as its own
+        job — a driver scheduling barrier plus py4j chatter (~35 jobs per
+        round, tools/prof_jobs.py) whose cost is independent of data size.
+        Its benefits (partition coalescing, skew-join splits, runtime
+        broadcast) only matter once the round moves enough rows that
+        partition-size decisions are real. Measured on the identical
+        250k-page fixture back-to-back: 565.7 urls/s (AQE on) vs 1,183.8
+        (off) — BENCH/BASELINE.md r4. Threshold 0 disables the policy;
+        an unknown row count (no stats yet) keeps the session default,
+        the scale-safe choice."""
+        thr = self.cfg.adaptive_min_round_rows
+        if not thr:
+            return
+        if round_rows is None:
+            want = session_default
+        else:
+            want = "true" if round_rows >= thr else "false"
+        if self.spark.conf.get("spark.sql.adaptive.enabled", "true") != want:
+            self.spark.conf.set("spark.sql.adaptive.enabled", want)
 
     def _check_bloom_geometry(self) -> None:
         """Resume-time Bloom safety: the filters' (m, k, partitions) travel

@@ -55,14 +55,17 @@ def test_unsupported_selector_rejected(spark, tabs):
     """Arbitrary CSS selectors register (P3 general engine); syntax outside
     the supported subset fails loudly at registration, not mid-crawl inside
     the parse UDF. Structural pseudo-classes (:nth-child et al.) are part
-    of the supported subset since round 4."""
+    of the supported subset since round 4 (:nth-child and the of-type
+    family both register); dynamic/UA-state pseudos stay rejected."""
     col = Collector(spark, tabs["pages"], tabs["images"], tabs["robots"])
     with pytest.raises(ValueError, match="unsupported pseudo-class"):
-        col.on_html("div.article > p:nth-of-type(2)")
+        col.on_html("div.article > p:hover")
     with pytest.raises(ValueError, match="unsupported CSS selector"):
         col.on_html("div.article ! p")
     col.on_html("div.article > p:nth-child(2)")  # structural pseudo registers
     assert col.cfg.html_extractors[-1].selector == "div.article > p:nth-child(2)"
+    col.on_html("div.article > p:nth-of-type(2)")  # of-type family too
+    assert col.cfg.html_extractors[-1].selector == "div.article > p:nth-of-type(2)"
 
 
 def test_detach_stops_link_follow_parity(spark, tabs):

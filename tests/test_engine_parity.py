@@ -375,3 +375,43 @@ def test_checkpoint_resume_equals_uninterrupted(spark, tabs, tmp_path, backend):
     res_visits = [(r["fetch_seq"], r["url"]) for r in
                   resumed["visits"].orderBy("fetch_seq").collect()]
     assert res_visits == full_visits
+
+
+def test_round_aqe_policy(spark, tabs):
+    """Per-round AQE policy (config.adaptive_min_round_rows): below the
+    threshold each round runs with adaptive execution OFF (its per-exchange
+    scheduling-barrier jobs dominate small rounds — measured 2.1x whole-crawl
+    wall on the 250k fixture, BENCH/BASELINE.md r4); at/above it AQE stays ON
+    (the 100-TB regime needs coalescing + skew splits); threshold 0 disables
+    the policy; and the session setting is restored after run(). Crawl output
+    must be identical in every mode (run_compare asserts parity with the
+    serial simulator each time)."""
+    seeds = make_seeds(["http://d00.test/page/0"])
+    seen_flags: list[str] = []
+    orig_run_round = Crawler._run_round
+
+    def spy(self, *a, **k):
+        seen_flags.append(self.spark.conf.get("spark.sql.adaptive.enabled"))
+        return orig_run_round(self, *a, **k)
+
+    def crawl(cfg):
+        seen_flags.clear()
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(Crawler, "_run_round", spy)
+            run_compare(spark, tabs, seeds, cfg)
+
+    # default threshold (10M): every fixture round is tiny -> AQE off in-round
+    crawl(CrawlConfig(max_depth=2, shuffle_partitions=8))
+    assert seen_flags and all(v == "false" for v in seen_flags)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"  # restored
+
+    # threshold 1: every non-empty round qualifies -> AQE on in-round
+    crawl(CrawlConfig(max_depth=2, shuffle_partitions=8,
+                      adaptive_min_round_rows=1))
+    assert seen_flags and all(v == "true" for v in seen_flags)
+
+    # threshold 0: policy disabled, session default flows through untouched
+    crawl(CrawlConfig(max_depth=2, shuffle_partitions=8,
+                      adaptive_min_round_rows=0))
+    assert seen_flags and all(v == "true" for v in seen_flags)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
