@@ -103,6 +103,12 @@ def canonicalize(raw: str | None) -> str | None:
         port = parts.port
     except ValueError:
         return None
+    if ":" in host:
+        # IPv6 literal: urlsplit().hostname strips the brackets; the
+        # serialized form must restore them or the URL can't be re-parsed
+        # (Go's net/url keeps the bracketed form through String(),
+        # url.go Host handling — parity for http://[::1]/ style seeds)
+        host = "[" + host + "]"
     netloc = userinfo + host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
         netloc += f":{port}"
