@@ -415,3 +415,42 @@ def test_round_aqe_policy(spark, tabs):
                       adaptive_min_round_rows=0))
     assert seen_flags and all(v == "true" for v in seen_flags)
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_ipv6_host_parity(spark):
+    """IPv6-literal hosts survive the whole pipeline: canonicalization keeps
+    the brackets (urlkit regression — hostname() strips them, so the
+    serialized form must restore them), default :80 is elided, the robots
+    cache keys on the UNbracketed hostname, and engine visits/url_seen/
+    errors equal the simulator's. Seed carries an explicit default port."""
+    from colly_spark.fixtures import DEFAULT_ROBOTS_BODY, Site, _html_body
+
+    host = "2001:db8::1"
+    base = f"http://[{host}]"
+
+    def page(j: int, links: list[str]) -> dict:
+        return {
+            "url": f"{base}/page/{j}", "domain": host, "status": 200,
+            "content_type": "text/html", "body": _html_body(links, [], None),
+            "redirect_to": None, "links": links, "base_href": None,
+            "image_refs": [], "gzip_body": False, "serve_delay_ms": 0,
+            "set_cookie": None, "require_cookie": None, "require_header": None,
+        }
+
+    site = Site(spec=SiteSpec(n_domains=0, with_specials=False))
+    site.pages = [
+        # relative link, default-port absolute (canonicalizes portless),
+        # fragment self-link (dedup'd), and a /disallowed robots path
+        page(0, ["/page/1", f"{base}:80/page/2", f"{base}/page/0#frag",
+                 "/disallowed/x"]),
+        page(1, [f"{base}/page/2"]),
+        page(2, []),
+    ]
+    site.robots = [{"host": host, "body": DEFAULT_ROBOTS_BODY,
+                    "fetch_fails": False}]
+    tabs6 = site_to_spark(spark, site)
+    seeds = make_seeds([f"{base}:80/page/0"])
+    cfg = CrawlConfig(max_depth=3, shuffle_partitions=8, ignore_robots_txt=False)
+    out, _, _ = run_compare(spark, tabs6, seeds, cfg, site=site)
+    urls = [r["url"] for r in out["visits"].orderBy("fetch_seq").collect()]
+    assert urls == [f"{base}/page/0", f"{base}/page/1", f"{base}/page/2"]

@@ -72,6 +72,12 @@ def main() -> None:
     for k in sorted(stage_tot):
         n, d = stage_tot[k]
         print(f"{k:12s} jobs={int(n):3d} job-wall={d:7.2f}s")
+    if os.environ.get("PROF_JOBS_DETAIL"):
+        print("--- every labeled job (action census) ---")
+        for j in jobs:
+            desc = j.get("description") or ""
+            if desc.startswith("r") and ":" in desc:
+                print(f"{desc:14s} {j.get('name', '?')[:90]}")
     spark.stop()
 
 
