@@ -74,10 +74,24 @@ def main() -> None:
         print(f"{k:12s} jobs={int(n):3d} job-wall={d:7.2f}s")
     if os.environ.get("PROF_JOBS_DETAIL"):
         print("--- every labeled job (action census) ---")
+        stages = {
+            s["stageId"]: s
+            for s in json.loads(
+                urllib.request.urlopen(
+                    f"{ui}/api/v1/applications/{spark.sparkContext.applicationId}/stages"
+                ).read()
+            )
+        }
         for j in jobs:
             desc = j.get("description") or ""
             if desc.startswith("r") and ":" in desc:
-                print(f"{desc:14s} {j.get('name', '?')[:90]}")
+                print(f"{desc:14s} jid={j['jobId']:4d} tasks={j.get('numTasks', -1):4d} "
+                      f"{j.get('name', '?')[:60]}")
+                for sid in sorted(j.get("stageIds", [])):
+                    s = stages.get(sid)
+                    if s is not None:
+                        print(f"    stage {sid:4d} [{s.get('status','?'):9s}] "
+                              f"tasks={s.get('numTasks', -1):4d} {s.get('name','?')[:70]}")
     spark.stop()
 
 
