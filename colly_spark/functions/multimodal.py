@@ -4,10 +4,11 @@ frame-sample over opaque ``binary`` payloads with typed metadata.
 The Spark-side plumbing is real and tested — schemas, Arrow batch shapes,
 ``mapInPandas`` signatures, partitioning — while the codec layer delegates to
 :mod:`colly_spark.imagecodec` (deterministic stand-in; PIL path when
-available). Audio decodes WAV/PCM natively (stdlib ``wave`` + numpy);
-compressed audio and all video remain explicit stubs raising
-``NotImplementedError`` at the decode step only, so swapping in a real
-library touches one function.
+available). Audio decodes WAV/PCM natively (stdlib ``wave`` + numpy); video
+decodes uncompressed YUV4MPEG2 (Y4M) natively (pure numpy: planar YUV
+420/422/444/mono, BT.601 limited-range to RGB). Compressed audio (MP3/AAC)
+and compressed video (mp4/h264/webm) raise ``NotImplementedError`` at the
+decode step only, so swapping in a real library touches one function.
 """
 
 from __future__ import annotations
@@ -197,7 +198,172 @@ def audio_features(audio: DataFrame, id_col: str = "audio_id",
     ).mapInPandas(gen, schema=AUDIO_FEATURES_SCHEMA)
 
 
-def sample_video_frames(data: bytes, every_n: int = 30):  # pragma: no cover - stub
-    """STUB: no video codec in this container. Contract: yields HxWx3 uint8
-    frames at the given stride."""
-    raise NotImplementedError("video decoding requires pyav/ffmpeg (not installed)")
+# ---------------------------------------------------------------------------
+# Video: native YUV4MPEG2 (Y4M) decode — pure numpy, no codec library.
+# Y4M is the uncompressed interchange format (mjpegtools spec): an ASCII
+# header line, then per frame an ASCII "FRAME" marker + raw planar YUV.
+# Compressed containers (mp4/h264/webm/mkv) genuinely need ffmpeg/pyav and
+# raise NotImplementedError at the decode step only.
+# ---------------------------------------------------------------------------
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def _parse_y4m_header(data: bytes) -> tuple[int, int, tuple[int, int], str, int]:
+    """Y4M stream header -> (w, h, (fps_num, fps_den), colorspace, body_off)."""
+    nl = data.index(b"\n", 0, 512)
+    w = h = 0
+    fps = (30, 1)
+    cs = "420"  # spec default when no C tag
+    for field in data[len(_Y4M_MAGIC):nl].decode("ascii", "replace").split(" "):
+        if not field:
+            continue
+        tag, val = field[0], field[1:]
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            num, den = val.split(":")
+            fps = (int(num), int(den))
+        elif tag == "C":
+            cs = val
+    if w <= 0 or h <= 0:
+        raise NotImplementedError("Y4M header missing W/H")
+    return w, h, fps, cs, nl + 1
+
+
+def _y4m_plane_sizes(w: int, h: int, cs: str) -> tuple[int, int, int]:
+    if cs.startswith("mono"):
+        return w * h, 0, 0
+    if cs.startswith("420"):
+        c = (w // 2) * (h // 2)
+    elif cs.startswith("422"):
+        c = (w // 2) * h
+    elif cs.startswith("444"):
+        c = w * h
+    else:
+        raise NotImplementedError(f"Y4M colorspace C{cs} unsupported")
+    return w * h, c, c
+
+
+def _yuv_to_rgb(y: np.ndarray, u: np.ndarray | None, v: np.ndarray | None) -> np.ndarray:
+    """BT.601 limited-range YCbCr -> RGB uint8 (the Y4M convention)."""
+    c = 1.164 * (y.astype(np.float32) - 16.0)
+    if u is None:  # mono
+        g = np.clip(c, 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    d = u.astype(np.float32) - 128.0
+    e = v.astype(np.float32) - 128.0
+    rgb = np.stack(
+        [c + 1.596 * e, c - 0.392 * d - 0.813 * e, c + 2.017 * d], axis=-1
+    )
+    return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
+def iter_video_frames(data: bytes):
+    """Decode a Y4M stream: yields ``(frame_index, HxWx3 uint8 RGB)`` lazily
+    (one frame resident at a time — streams bigger than memory sample fine).
+    Raises NotImplementedError for anything that is not an integer-plane
+    Y4M stream (compressed video needs ffmpeg/pyav, absent here)."""
+    if data is None or not bytes(data[: len(_Y4M_MAGIC)]) == _Y4M_MAGIC:
+        raise NotImplementedError(
+            "only uncompressed YUV4MPEG2 (Y4M) video decodes natively; "
+            "compressed containers require pyav/ffmpeg (not installed)"
+        )
+    data = bytes(data)
+    w, h, _fps, cs, off = _parse_y4m_header(data)
+    ysz, usz, vsz = _y4m_plane_sizes(w, h, cs)
+    fsz = ysz + usz + vsz
+    idx = 0
+    while off < len(data):
+        nl = data.index(b"\n", off, off + 256)
+        if data[off:nl][:5] != b"FRAME":
+            raise NotImplementedError(f"malformed Y4M frame marker at {off}")
+        off = nl + 1
+        if off + fsz > len(data):
+            raise NotImplementedError("truncated Y4M frame payload")
+        y = np.frombuffer(data, np.uint8, ysz, off).reshape(h, w)
+        if usz:
+            u = np.frombuffer(data, np.uint8, usz, off + ysz)
+            v = np.frombuffer(data, np.uint8, vsz, off + ysz + usz)
+            if cs.startswith("420"):
+                u = u.reshape(h // 2, w // 2).repeat(2, 0).repeat(2, 1)
+                v = v.reshape(h // 2, w // 2).repeat(2, 0).repeat(2, 1)
+            elif cs.startswith("422"):
+                u = u.reshape(h, w // 2).repeat(2, 1)
+                v = v.reshape(h, w // 2).repeat(2, 1)
+            else:  # 444
+                u = u.reshape(h, w)
+                v = v.reshape(h, w)
+            yield idx, _yuv_to_rgb(y, u, v)
+        else:
+            yield idx, _yuv_to_rgb(y, None, None)
+        off += fsz
+        idx += 1
+
+
+def sample_video_frames(data: bytes, every_n: int = 30) -> list[tuple[int, np.ndarray]]:
+    """Every ``every_n``-th frame of a Y4M stream as ``(index, HxWx3 uint8
+    RGB)`` — the frame-sample operator of the multimodal pipeline."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    return [(i, f) for i, f in iter_video_frames(data) if i % every_n == 0]
+
+
+VIDEO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("video_id", StringType()),
+        StructField("decode_ok", BooleanType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fps", DoubleType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("n_sampled", LongType()),
+        StructField("mean_luma", DoubleType()),
+    ]
+)
+
+
+def video_features(videos: DataFrame, id_col: str = "video_id",
+                   bytes_col: str = "bytes", sample_every: int = 30) -> DataFrame:
+    """Decode + feature-extract video payloads (dims, fps, duration, mean
+    luma over sampled frames) in Arrow-batched pandas over ``mapInPandas`` —
+    same quarantine-and-count shape as :func:`audio_features`: undecodable
+    rows come back ``decode_ok=false`` instead of being dropped."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for vid, data in zip(pdf["video_id"], pdf["bytes"]):
+                try:
+                    if data is None or bytes(data[:9]) != _Y4M_MAGIC:
+                        raise NotImplementedError("not a Y4M stream")
+                    w, h, (fn, fd), _cs, _off = _parse_y4m_header(bytes(data))
+                    lumas = []
+                    n = 0
+                    n_sampled = 0
+                    for i, frame in iter_video_frames(data):
+                        n = i + 1
+                        if i % sample_every == 0:
+                            n_sampled += 1
+                            lumas.append(float(frame.mean()))
+                except (NotImplementedError, ValueError):
+                    rows.append((vid, False, 0, 0, 0.0, 0, 0.0, 0, 0.0))
+                    continue
+                fps = fn / fd if fd else 0.0
+                rows.append((
+                    vid, True, int(w), int(h), round(fps, 6), int(n),
+                    round(n / fps, 6) if fps else 0.0, int(n_sampled),
+                    round(float(np.mean(lumas)), 6) if lumas else 0.0,
+                ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FEATURES_SCHEMA.fields]
+            )
+
+    from pyspark.sql import functions as F
+
+    return videos.select(
+        F.col(id_col).alias("video_id"), F.col(bytes_col).alias("bytes")
+    ).mapInPandas(gen, schema=VIDEO_FEATURES_SCHEMA)

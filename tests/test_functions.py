@@ -221,8 +221,81 @@ def test_audio_features_mapinpandas(spark):
 
 
 def test_multimodal_stubs_raise():
-    # compressed audio and video remain honest stubs
+    # compressed audio and video decode paths stay honest: loud reject
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"ID3\x04not-pcm")
     with pytest.raises(NotImplementedError):
-        multimodal.sample_video_frames(b"....ftyp")
+        multimodal.sample_video_frames(b"....ftyp")  # mp4 box, no codec lib
+
+
+def _make_y4m(w=8, h=6, n_frames=5, cs="420", luma=128, chroma=(128, 128)):
+    """Minimal Y4M encoder for tests: constant-value planes per frame,
+    frame f gets luma ``luma + f`` (so frames are distinguishable)."""
+    head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{cs}\n".encode()
+    if cs == "mono":
+        usz = vsz = 0
+    elif cs == "420":
+        usz = vsz = (w // 2) * (h // 2)
+    elif cs == "422":
+        usz = vsz = (w // 2) * h
+    else:
+        usz = vsz = w * h
+    out = [head]
+    for f in range(n_frames):
+        out.append(b"FRAME\n")
+        out.append(bytes([min(luma + f, 255)]) * (w * h))
+        out.append(bytes([chroma[0]]) * usz)
+        out.append(bytes([chroma[1]]) * vsz)
+    return b"".join(out)
+
+
+def test_y4m_decode_and_sampling():
+    """Native Y4M decode: frame shapes, stride sampling, and the analytic
+    gray-point check (Y=128, U=V=128 -> BT.601 limited-range R=G=B=130)."""
+    data = _make_y4m(w=8, h=6, n_frames=7, cs="420", luma=128)
+    frames = multimodal.sample_video_frames(data, every_n=3)
+    assert [i for i, _ in frames] == [0, 3, 6]
+    f0 = frames[0][1]
+    assert f0.shape == (6, 8, 3) and f0.dtype == np.uint8
+    # Y=128,U=V=128: c = 1.164*(128-16) = 130.4 -> 130 on all channels
+    assert f0.min() == f0.max() == 130
+    # every_n=1 decodes every frame; frame f has luma 128+f
+    all_frames = multimodal.sample_video_frames(data, every_n=1)
+    assert len(all_frames) == 7
+    assert all_frames[1][1].mean() > all_frames[0][1].mean()
+
+    # 444 and mono colorspaces reshape correctly
+    for cs in ("444", "422", "mono"):
+        fs = multimodal.sample_video_frames(_make_y4m(cs=cs, n_frames=2), every_n=1)
+        assert len(fs) == 2 and fs[0][1].shape == (6, 8, 3)
+
+    # truncated payload and unknown colorspace reject loudly
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_video_frames(_make_y4m(n_frames=2)[:-5])
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_video_frames(
+            b"YUV4MPEG2 W8 H6 F25:1 C410\nFRAME\n" + b"\x80" * 100
+        )
+
+
+def test_video_features_mapinpandas(spark):
+    """video_features over mapInPandas: Y4M rows decode (dims/fps/duration/
+    sampled-luma), non-Y4M rows quarantine as decode_ok=false."""
+    rows = [
+        ("v1", _make_y4m(w=8, h=6, n_frames=50, luma=100)),
+        ("v2", _make_y4m(w=4, h=4, n_frames=3, cs="mono", luma=200)),
+        ("bad", b"\x00\x00\x00 ftypisom-mp4-junk"),
+    ]
+    df = spark.createDataFrame(rows, "video_id string, bytes binary")
+    got = {r["video_id"]: r for r in
+           multimodal.video_features(df, sample_every=10).collect()}
+    assert got["bad"]["decode_ok"] is False
+    v1 = got["v1"]
+    assert v1["decode_ok"] and (v1["w"], v1["h"]) == (8, 6)
+    assert v1["fps"] == 25.0 and v1["n_frames"] == 50
+    assert abs(v1["duration_s"] - 2.0) < 1e-6
+    assert v1["n_sampled"] == 5  # frames 0,10,20,30,40
+    # sampled Y = 100,110,...,140 -> RGB c=1.164*(Y-16): mean ~ 121
+    assert 115.0 < v1["mean_luma"] < 126.0
+    v2 = got["v2"]
+    assert v2["decode_ok"] and v2["n_frames"] == 3 and v2["n_sampled"] == 1
