@@ -32,16 +32,17 @@ evaluates both selector languages over it:
   to ITS parent — which is exactly XPath 1.0's semantics for an unaxised
   step) — the forms colly's own tests exercise (colly_test.go:1573-1631)
   — delegated to ElementTree's ElementPath after a small translation.
-  On top of ElementPath, a stepwise evaluator handles ``contains()``
-  predicates in ANY step (``//a[contains(@href,'x')]/span``) and the full
+  On top of ElementPath, a stepwise evaluator handles ``contains()`` /
+  ``starts-with()`` / ``[text()='v']`` / ``[.='v']`` predicates in ANY step
+  (``//a[contains(@href,'x')]/span``) and the full
   XPath 1.0 element-axis set — ``parent::``/``..``/``self::``,
   ``following-sibling::``/``preceding-sibling::``,
   ``ancestor(-or-self)::``/``descendant(-or-self)::``,
   ``following::``/``preceding::`` — with simple predicates (positional
   indexes count along the axis direction, nearest-first on reverse axes).
   The remaining XPath 1.0 surface (attribute/namespace axes as steps,
-  functions beyond contains) raises ValueError (loud reject, documented
-  divergence from xmlquery's full XPath 1.0).
+  functions beyond contains/starts-with, arithmetic) raises ValueError
+  (loud reject, documented divergence from xmlquery's full XPath 1.0).
 
 Everything here is pure Python over one in-memory tree per document; the
 Spark side calls it from an Arrow-batched pandas UDF (one parse per page,
@@ -484,8 +485,12 @@ def css_select(root: ET.Element, selector: str | list) -> list[ET.Element]:
 
 
 _XP_ATTR_TAIL = re.compile(r"/@([\w:-]+)$")
-_XP_CONTAINS_PRED = re.compile(
-    r"^contains\((@[\w:-]+|text\(\)|\.)\s*,\s*(['\"])(.*?)\2\)$"
+_XP_FUNC_PRED = re.compile(
+    r"^(contains|starts-with)"
+    r"\((@[\w:-]+|text\(\)|\.|[\w:-]+)\s*,\s*(['\"])(.*?)\3\)$"
+)
+_XP_TEXT_EQ_PRED = re.compile(
+    r"^(text\(\)|\.|[\w:-]+)\s*=\s*(['\"])(.*?)\2$"
 )
 _XP_AXIS_STEP = re.compile(
     r"^(following-sibling|preceding-sibling|following|preceding|parent"
@@ -496,7 +501,10 @@ _XP_PRED = re.compile(r"\[([^\[\]]*)\]")
 
 
 def _xpath_elements(root: ET.Element, p: str) -> list[ET.Element]:
-    if "contains(" in p or "::" in p or ".." in p:
+    if (
+        "contains(" in p or "starts-with(" in p or "::" in p or ".." in p
+        or re.search(r"\[(?:text\(\)|\.)\s*=", p)
+    ):
         return _xpath_steps_eval(root, p)
     try:
         if p.startswith("//"):
@@ -563,17 +571,48 @@ def _xpath_apply_preds(
             raise ValueError(f"unsupported predicate syntax in XPath {path!r}")
         body = m.group(1).strip()
         pos = m.end()
-        mc = _XP_CONTAINS_PRED.match(body)
+        mc = _XP_FUNC_PRED.match(body)
+        me = _XP_TEXT_EQ_PRED.match(body)
         if mc:
-            subj, needle = mc.group(1), mc.group(3)
+            fn, subj, needle = mc.group(1), mc.group(2), mc.group(4)
+            if fn == "contains":
+                def test(hay: str) -> bool:
+                    return needle in hay
+            else:  # starts-with
+                def test(hay: str) -> bool:
+                    return hay.startswith(needle)
             if subj == "text()":
-                cand = [e for e in cand if needle in _direct_text(e)]
+                cand = [e for e in cand if test(_direct_text(e))]
             elif subj == ".":
-                cand = [e for e in cand if needle in text_content(e)]
-            else:
+                cand = [e for e in cand if test(text_content(e))]
+            elif subj.startswith("@"):
                 cand = [
                     e for e in cand
-                    if e.get(subj[1:]) is not None and needle in e.get(subj[1:])
+                    if e.get(subj[1:]) is not None and test(e.get(subj[1:]))
+                ]
+            else:
+                # child-element subject: string-value of the FIRST child
+                # with that tag (XPath's string() of a node-set)
+                def first_child_text(e):
+                    return next(
+                        (text_content(c) for c in e if c.tag == subj), None
+                    )
+                cand = [
+                    e for e in cand
+                    if (t := first_child_text(e)) is not None and test(t)
+                ]
+        elif me:
+            # [text()='v'] / [.='v'] string equality (direct text vs full
+            # text content — the same simplification contains() uses)
+            subj, lit = me.group(1), me.group(3)
+            if subj == "text()":
+                cand = [e for e in cand if _direct_text(e) == lit]
+            elif subj == ".":
+                cand = [e for e in cand if text_content(e) == lit]
+            else:  # [tag='v'] — ElementPath's own child-equality form
+                cand = [
+                    e for e in cand
+                    if any(c.tag == subj and text_content(c) == lit for c in e)
                 ]
         elif re.fullmatch(r"\d+", body):
             if not allow_positional:
@@ -674,7 +713,8 @@ def _xpath_steps_eval(root: ET.Element, p: str) -> list[ET.Element]:
                 if tag != "*":
                     cand = [e for e in cand if e.tag == tag]
                 nxt.extend(_xpath_apply_preds(cand, preds, p))
-        elif "contains(" in step:
+        elif ("contains(" in step or "starts-with(" in step
+              or re.search(r"\[(?:text\(\)|\.)\s*=", step)):
             mt = re.match(r"^(\*|[\w:-]+)(.*)$", step)
             if mt is None:
                 raise ValueError(f"unsupported step {step!r} in XPath {p!r}")

@@ -609,10 +609,38 @@ def test_xpath_unsupported_rejected_loudly():
     import pytest
 
     tree = dom.parse_xml("<r><a/><b/></r>")
-    for bad in ("//a/namespace::x", "//a[starts-with(@href, 'x')]",
+    for bad in ("//a/namespace::x", "//a[substring(@href, 1)]",
+                "//a[position() mod 2]",
                 "//a/attribute::href/parent::a"):
         with pytest.raises(ValueError):
             dom.xpath_select(tree, bad)
+
+
+def test_xpath_starts_with_and_text_equality():
+    """starts-with() and [text()='v'] / [.='v'] predicates, any step."""
+    tree = dom.parse_xml(
+        "<list>"
+        "<item><href>/docs/a</href><title>Alpha</title></item>"
+        "<item><href>/blog/b</href><title>Beta</title></item>"
+        "<item><href>/docs/c</href><title>Gamma</title></item>"
+        "</list>"
+    )
+    docs = dom.xpath_select(tree, "//item[starts-with(href, '')]/title/text()")
+    assert docs == ["Alpha", "Beta", "Gamma"]
+    # starts-with over an attribute subject
+    atree = dom.parse_xml(
+        '<r><a href="/docs/a">x</a><a href="/blog/b">y</a>'
+        '<a href="/docs/c">z</a></r>'
+    )
+    assert dom.xpath_select(atree, "//a[starts-with(@href, '/docs')]/text()")         == ["x", "z"]
+    # text() equality, direct-text semantics
+    assert dom.xpath_select(atree, "//a[text()='y']/@href") == ["/blog/b"]
+    # [.='v'] full text content equality in a mid step
+    assert dom.xpath_select(tree, "//item/title[.='Beta']/text()") == ["Beta"]
+    # stepwise interaction: starts-with then a sibling axis
+    assert dom.xpath_select(
+        atree, "//a[starts-with(@href, '/blog')]/following-sibling::a/@href"
+    ) == ["/docs/c"]
 
 
 def test_xpath_string_results_through_extractor():
