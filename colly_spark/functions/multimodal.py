@@ -211,7 +211,10 @@ _Y4M_MAGIC = b"YUV4MPEG2"
 
 def _parse_y4m_header(data: bytes) -> tuple[int, int, tuple[int, int], str, int]:
     """Y4M stream header -> (w, h, (fps_num, fps_den), colorspace, body_off)."""
-    nl = data.index(b"\n", 0, 512)
+    try:
+        nl = data.index(b"\n", 0, 512)
+    except ValueError:
+        raise NotImplementedError("Y4M header line unterminated") from None
     w = h = 0
     fps = (30, 1)
     cs = "420"  # spec default when no C tag
@@ -277,7 +280,12 @@ def iter_video_frames(data: bytes):
     fsz = ysz + usz + vsz
     idx = 0
     while off < len(data):
-        nl = data.index(b"\n", off, off + 256)
+        try:
+            nl = data.index(b"\n", off, off + 256)
+        except ValueError:
+            raise NotImplementedError(
+                f"unterminated Y4M frame marker at {off}"
+            ) from None
         if data[off:nl][:5] != b"FRAME":
             raise NotImplementedError(f"malformed Y4M frame marker at {off}")
         off = nl + 1
