@@ -13,7 +13,8 @@ evaluates both selector languages over it:
   ``:nth-child(an+b)``/``:nth-last-child(an+b)``, the of-type family
   (``:first-of-type``/``:last-of-type``/``:nth-of-type``/
   ``:nth-last-of-type``), ``:only-child``/``:only-of-type``, ``:empty``,
-  ``:not(compound)``, and cascadia's jQuery-extension pseudos
+  ``:not(compound)``, the element-state pseudos ``:root``/``:checked``/
+  ``:disabled``/``:enabled``/``:link``, and cascadia's jQuery-extension pseudos
   ``:contains("text")`` (case-insensitive substring over text content) and
   ``:has(selector)`` (descendant exists — subtree-scoped), compounds
   (``a.cls[href]:first-child``), descendant
@@ -230,6 +231,12 @@ def _compile_compound(s: str) -> list[tuple]:
                 tests.append(("only_type",))
             elif name == "empty":
                 tests.append(("empty",))
+            elif name in ("root", "checked", "disabled", "enabled", "link"):
+                # cascadia's element-state pseudos (selector.go): :root
+                # (document element), :checked (checked checkbox/radio or
+                # selected option), :disabled/:enabled (form controls by
+                # the disabled attribute), :link (a/area/link with href)
+                tests.append((name,))
             elif name == "contains":
                 # cascadia's jQuery-extension :contains("text"): substring
                 # over the element's full text content, both sides
@@ -370,6 +377,32 @@ def _matches_compound(el: ET.Element, tests: list[tuple], ctx: tuple) -> bool:
             # cascadia semantics: no element children, no non-whitespace
             # direct text (whitespace-only text nodes don't count)
             if len(el) > 0 or (el.text or "").strip():
+                return False
+        elif t[0] == "root":
+            cont = container.get(id(el))
+            if cont is None or cont.tag != "__root__":
+                return False
+        elif t[0] == "checked":
+            tag = el.tag.lower()
+            checked = (
+                tag == "input"
+                and (el.get("type") or "").lower() in ("checkbox", "radio")
+                and el.get("checked") is not None
+            ) or (tag == "option" and el.get("selected") is not None)
+            if not checked:
+                return False
+        elif t[0] in ("disabled", "enabled"):
+            formish = el.tag.lower() in (
+                "button", "input", "select", "textarea",
+                "option", "optgroup", "fieldset",
+            )
+            disabled = formish and el.get("disabled") is not None
+            if t[0] == "disabled" and not disabled:
+                return False
+            if t[0] == "enabled" and not (formish and not disabled):
+                return False
+        elif t[0] == "link":
+            if el.tag.lower() not in ("a", "area", "link") or el.get("href") is None:
                 return False
         elif t[0] == "text_contains":
             if t[1] not in text_content(el).lower():

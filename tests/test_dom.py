@@ -95,9 +95,9 @@ def test_css_unsupported_raises():
     import pytest
 
     with pytest.raises(dom.CssSelectorError):
-        dom.compile_css("a:hover")  # non-structural pseudo stays rejected
+        dom.compile_css("a:hover")  # dynamic-state pseudo stays rejected
     with pytest.raises(dom.CssSelectorError):
-        dom.compile_css("input:checked")  # UI-state pseudo stays rejected
+        dom.compile_css("a:visited")  # browser history: unknowable here
     with pytest.raises(dom.CssSelectorError):
         dom.compile_css("p:nth-child(2 of .x)")  # CSS4 'of' form
     with pytest.raises(dom.CssSelectorError):
@@ -662,3 +662,29 @@ def test_xpath_string_results_through_extractor():
     out2 = extract_one(body, "application/xml", "http://a.test/sitemap.xml", None,
                        follow_links=False, extract_images=False, extractors=(spec2,))
     assert [m[3] for m in out2] == ["http://a.test/1", "relative/2"]
+
+
+def test_css_element_state_pseudos():
+    """cascadia's :root/:checked/:disabled/:enabled/:link pseudos."""
+    root = dom.parse_html(
+        "<html><body>"
+        '<form><input type="checkbox" checked id="c1">'
+        '<input type="checkbox" id="c2">'
+        '<input type="radio" checked id="r1">'
+        '<input type="text" id="t1">'
+        '<select><option selected id="o1">a</option><option id="o2">b</option></select>'
+        '<button disabled id="b1">x</button><button id="b2">y</button>'
+        "</form>"
+        '<a href="/x" id="a1">l</a><a id="a2">n</a><div id="d1"></div>'
+        "</body></html>"
+    )
+    ids = lambda sel: [e.get("id") for e in dom.css_select(root, sel)]
+    assert ids(":checked") == ["c1", "r1", "o1"]
+    assert ids("input:checked") == ["c1", "r1"]
+    assert ids(":disabled") == ["b1"]
+    assert ids("button:enabled") == ["b2"]
+    # a text input is enabled; a div is not a form control at all
+    assert "t1" in ids(":enabled") and "d1" not in ids(":enabled")
+    assert ids("a:link") == ["a1"]
+    assert [e.tag for e in dom.css_select(root, ":root")] == ["html"]
+    assert ids(":root > body a:link") == ["a1"]
