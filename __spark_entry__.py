@@ -304,6 +304,85 @@ def q_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_neardup_pairs(d, max_hamming=3).orderBy("a", "b")
 
 
+def q_video_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal video column end-to-end: deterministic Y4M payloads are
+    synthesized per document (a pure function of doc_id) in one Arrow-batched
+    mapInPandas pass, then decoded + feature-extracted by
+    ``video_features`` (native planar-YUV decode, BT.601 to RGB) in a
+    second. Binary codecs are not SQL-expressible, so this entry has no
+    DuckDB oracle (rows-only driver check); value-level pinning lives in
+    tests/test_functions.py::test_video_features_mapinpandas."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from colly_spark.functions.multimodal import video_features
+
+    docs = _read(spark, sf, "documents").select("doc_id").orderBy("doc_id").limit(64)
+    schema = StructType([StructField("video_id", StringType()),
+                         StructField("bytes", BinaryType())])
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                h = zlib.crc32(str(int(did)).encode())
+                w, ht, n = 8, 6, 1 + h % 5
+                frame = (b"FRAME\n" + bytes([h % 200]) * (w * ht)
+                         + bytes([128]) * ((w // 2) * (ht // 2)) * 2)
+                ids.append(f"vid-{int(did)}")
+                payloads.append(f"YUV4MPEG2 W{w} H{ht} F25:1 C420\n".encode()
+                                + frame * n)
+            yield pd.DataFrame({"video_id": ids, "bytes": payloads})
+
+    vids = docs.mapInPandas(gen, schema=schema)
+    return video_features(vids, sample_every=2).orderBy("video_id")
+
+
+def q_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal audio column end-to-end: deterministic 16-bit PCM WAV
+    payloads (sine of doc_id-derived frequency/amplitude) synthesized in one
+    mapInPandas pass, decoded + feature-extracted by ``audio_features``
+    (native stdlib-wave + numpy decode). Rows-only driver check (binary
+    codec, no SQL oracle); value-level pinning in
+    tests/test_functions.py::test_audio_features_mapinpandas."""
+    import io
+    import wave
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from colly_spark.functions.multimodal import audio_features
+
+    docs = _read(spark, sf, "documents").select("doc_id").orderBy("doc_id").limit(64)
+    schema = StructType([StructField("audio_id", StringType()),
+                         StructField("bytes", BinaryType())])
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                h = zlib.crc32(str(int(did)).encode())
+                n, amp = 400 + h % 400, 0.1 + (h % 8) / 10.0
+                t = np.arange(n)
+                pcm = (amp * 32767 * np.sin(t / (3 + h % 7))).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wv:
+                    wv.setnchannels(1)
+                    wv.setsampwidth(2)
+                    wv.setframerate(8000)
+                    wv.writeframes(pcm.tobytes())
+                ids.append(f"aud-{int(did)}")
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"audio_id": ids, "bytes": payloads})
+
+    auds = docs.mapInPandas(gen, schema=schema)
+    return audio_features(auds).orderBy("audio_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_counters": q_counters,
@@ -327,6 +406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_neardup": q_minhash_neardup,
         "q_simhash": q_simhash,
         "q_simhash_neardup": q_simhash_neardup,
+        "q_video_features": q_video_features,
+        "q_audio_features": q_audio_features,
     }
 
 
