@@ -21,9 +21,8 @@ these semantics, so this is one of the few justified pandas-UDF hot paths.
 
 from __future__ import annotations
 
-import posixpath
 import re
-from urllib.parse import urljoin, urlsplit, urlunsplit
+from urllib.parse import urlsplit, urlunsplit
 
 import pandas as pd
 from pyspark.sql import functions as F
@@ -139,9 +138,53 @@ def path_query(canon_url: str | None) -> str | None:
     return pq
 
 
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments, verbatim state machine."""
+    inp, out = path, []
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            if out:
+                out.pop()
+        elif inp == "/..":
+            inp = "/"
+            if out:
+                out.pop()
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            i = inp.find("/", 1) if inp.startswith("/") else inp.find("/")
+            if i == -1:
+                out.append(inp)
+                inp = ""
+            else:
+                out.append(inp[:i])
+                inp = inp[i:]
+    return "".join(out)
+
+
 def absolutize(base: str | None, href: str | None) -> str | None:
     """Resolve ``href`` against ``base``; fragment-only -> None
-    (request.go:101-117: ``AbsoluteURL`` returns "" for '#...')."""
+    (request.go:101-117: ``AbsoluteURL`` returns "" for '#...').
+
+    Resolution is RFC 3986 §5.2 implemented over :func:`urlsplit`, matching
+    Go's ``net/url.ResolveReference`` (the reference's resolver). The stdlib
+    ``urljoin`` is deliberately NOT used: it round-trips through ``urlparse``,
+    which splits ``;params`` off the last path segment and silently drops an
+    EMPTY params on re-assembly, so ``urljoin(u, u) != u`` for URLs whose last
+    segment ends in a bare ``;`` (hypothesis counterexample
+    ``http://[::1]/;``) — a url_seen divergence from colly on such links.
+    ``urlsplit`` never separates params from the path, so the segment
+    survives intact here.
+    """
     if href is None:
         return None
     h = strip_url_whitespace(str(href))
@@ -150,9 +193,32 @@ def absolutize(base: str | None, href: str | None) -> str | None:
     if not base:
         return h or None
     try:
-        return urljoin(base, h)
+        b = urlsplit(base)
+        r = urlsplit(h)
     except ValueError:
         return None
+    # §5.2.2 transform references (strict: a ref scheme always wins)
+    if r.scheme:
+        scheme, netloc = r.scheme, r.netloc
+        path, query = _remove_dot_segments(r.path), r.query
+    elif r.netloc:
+        scheme, netloc = b.scheme, r.netloc
+        path, query = _remove_dot_segments(r.path), r.query
+    elif r.path == "":
+        scheme, netloc, path = b.scheme, b.netloc, b.path
+        query = r.query if r.query else b.query
+    else:
+        scheme, netloc, query = b.scheme, b.netloc, r.query
+        if r.path.startswith("/"):
+            path = _remove_dot_segments(r.path)
+        else:
+            # §5.2.3 merge: base-with-authority-and-empty-path -> "/" + ref
+            if b.netloc and not b.path:
+                merged = "/" + r.path
+            else:
+                merged = b.path[: b.path.rfind("/") + 1] + r.path
+            path = _remove_dot_segments(merged)
+    return urlunsplit((scheme, netloc, path, query, r.fragment))
 
 
 # --------------------------------------------------------------------------

@@ -454,3 +454,43 @@ def test_ipv6_host_parity(spark):
     out, _, _ = run_compare(spark, tabs6, seeds, cfg, site=site)
     urls = [r["url"] for r in out["visits"].orderBy("fetch_seq").collect()]
     assert urls == [f"{base}/page/0", f"{base}/page/1", f"{base}/page/2"]
+
+
+def test_bare_semicolon_segment_hash_parity(spark):
+    """A URL whose last path segment ends in a bare ``;`` must hash the same
+    whether it arrives as a SEED or as an EXTRACTED link (request.go:101-117:
+    Go's net/url preserves the empty ';params' through ResolveReference, so
+    colly dedups the two). Round-4 regression: stdlib urljoin dropped the
+    ';' on the extracted path only, splitting the url_seen key. The crawl
+    below seeds both the linking page and the ';' URL itself; parity =
+    exactly one visit of it, and run_compare's url_seen clause proves the
+    hash sets match the simulator."""
+    from colly_spark.fixtures import DEFAULT_ROBOTS_BODY, Site, _html_body
+
+    host, base = "semi.test", "http://semi.test"
+
+    def page(path: str, links: list[str]) -> dict:
+        return {
+            "url": base + path, "domain": host, "status": 200,
+            "content_type": "text/html", "body": _html_body(links, [], None),
+            "redirect_to": None, "links": links, "base_href": None,
+            "image_refs": [], "gzip_body": False, "serve_delay_ms": 0,
+            "set_cookie": None, "require_cookie": None, "require_header": None,
+        }
+
+    site = Site(spec=SiteSpec(n_domains=0, with_specials=False))
+    site.pages = [
+        # root page links to the ';' URL absolutely AND via a relative href
+        # ending in ';' — both must resolve to the same canonical form
+        page("/", [f"{base}/x;", "x;"]),
+        page("/x;", []),
+    ]
+    site.robots = [{"host": host, "body": DEFAULT_ROBOTS_BODY,
+                    "fetch_fails": False}]
+    tabs = site_to_spark(spark, site)
+    # the ';' URL is also a seed: seed-hash and extracted-link-hash collide
+    seeds = make_seeds([f"{base}/", f"{base}/x;"])
+    cfg = CrawlConfig(max_depth=2, shuffle_partitions=8)
+    out, _, _ = run_compare(spark, tabs, seeds, cfg, site=site)
+    urls = [r["url"] for r in out["visits"].orderBy("fetch_seq").collect()]
+    assert urls == [f"{base}/", f"{base}/x;"]  # visited exactly once

@@ -17,7 +17,7 @@ import wave
 
 import numpy as np
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from colly_spark import imagecodec
 from colly_spark.bloomseen import bloom_params, insert_into_bits, membership
@@ -95,6 +95,10 @@ def test_canonicalize_total_on_junk(raw):
 
 @settings(**SETTINGS)
 @given(_urls, st.text(alphabet="abcxyz/.?=%", max_size=12))
+@example(base="http://[::1]/;", href="")  # round-4 counterexample: urljoin
+# drops the empty ';params' of the last segment (urlkit.absolutize docstring)
+@example(base="http://h.test/a;/x;", href="y;")  # bare ';' in base AND href
+@example(base="http://h.test/a", href="..//b")  # dot-segment into '//' keep
 def test_absolutize_closure(base, href):
     """Resolving any href against a canonical base yields either None or a
     string the canonicalizer accepts-or-rejects deterministically; and
