@@ -56,6 +56,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return out["visits"].orderBy("fetch_seq")
 
 
+# The flagship fixture entry() resolves at sf0.001 (500 docs -> 12 pages per
+# domain), pinned here so q_crawl_visits and its simulator-emitted golden
+# (tools/make_golden.py) agree on the exact web regardless of the sf the
+# driver passes.
+CRAWL_FIXTURE = dict(n_domains=3, pages_per_domain=12, seed=42)
+
+
+def q_crawl_visits(spark: SparkSession, sf: str) -> DataFrame:
+    """The flagship crawl itself as a driver-gate row: run the pinned
+    fixture crawl through the distributed engine and return
+    (fetch_seq, url, depth). Oracle: a GOLDEN PARQUET emitted by the serial
+    golden simulator (colly_spark/simulator.py — engine-independent by
+    construction), so the strongest correctness property — visit-order
+    equality under robots + politeness + dedup — is checked by the driver
+    gate, not only by pytest (tests/test_engine_parity.py)."""
+    from colly_spark.config import CrawlConfig, LimitRule
+    from colly_spark.engine import Crawler
+    from colly_spark.fixtures import SiteSpec, build_site, make_seeds, site_to_spark
+
+    site = build_site(SiteSpec(**CRAWL_FIXTURE))
+    tabs = site_to_spark(spark, site)
+    cfg = CrawlConfig(
+        max_depth=3,
+        ignore_robots_txt=False,
+        limit_rules=(LimitRule(domain_glob="*.test", delay_ms=50, parallelism=4),),
+        shuffle_partitions=8,
+    )
+    crawler = Crawler(spark, cfg, tabs["pages"], tabs["images"], tabs["robots"])
+    out = crawler.run(
+        make_seeds([f"http://d0{d}.test/page/0" for d in range(3)]), max_rounds=6
+    )
+    return out["visits"].select("fetch_seq", "url", "depth").orderBy("fetch_seq")
+
+
 # ---------------------------------------------------------------------------
 # oracle-checked queries (operator -> relational form over the test tables)
 # ---------------------------------------------------------------------------
@@ -309,8 +343,11 @@ def q_video_features(spark: SparkSession, sf: str) -> DataFrame:
     synthesized per document (a pure function of doc_id) in one Arrow-batched
     mapInPandas pass, then decoded + feature-extracted by
     ``video_features`` (native planar-YUV decode, BT.601 to RGB) in a
-    second. Binary codecs are not SQL-expressible, so this entry has no
-    DuckDB oracle (rows-only driver check); value-level pinning lives in
+    second. Binary codecs are not SQL-expressible, so the oracle is a
+    GOLDEN PARQUET: the payloads are pure functions of doc_id, and
+    tools/make_golden.py re-synthesizes the same Y4M streams and decodes
+    them with independent numpy code (no colly_spark.functions import);
+    value-level pinning also lives in
     tests/test_functions.py::test_video_features_mapinpandas."""
     import zlib
 
@@ -344,8 +381,11 @@ def q_audio_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal audio column end-to-end: deterministic 16-bit PCM WAV
     payloads (sine of doc_id-derived frequency/amplitude) synthesized in one
     mapInPandas pass, decoded + feature-extracted by ``audio_features``
-    (native stdlib-wave + numpy decode). Rows-only driver check (binary
-    codec, no SQL oracle); value-level pinning in
+    (native stdlib-wave + numpy decode). Oracle: GOLDEN PARQUET from
+    tools/make_golden.py — the payloads are pure functions of doc_id, so the
+    golden re-synthesizes the same WAV streams and computes the features in
+    independent numpy (identical float32 ops, so round(x, 6) matches
+    bit-for-bit); value-level pinning in
     tests/test_functions.py::test_audio_features_mapinpandas."""
     import io
     import wave
@@ -408,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_neardup": q_simhash_neardup,
         "q_video_features": q_video_features,
         "q_audio_features": q_audio_features,
+        "q_crawl_visits": q_crawl_visits,
     }
 
 
@@ -599,6 +640,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, simhash
             FROM read_parquet('/root/repo/golden/q_simhash.sf0.01.parquet')
             ORDER BY doc_id
+        """,
+        # q_video_features / q_audio_features: binary codecs, not
+        # SQL-expressible — the oracle is a golden parquet whose rows are
+        # computed by tools/make_golden.py re-synthesizing the same
+        # deterministic payloads (pure functions of doc_id) and decoding
+        # them with independent numpy code.
+        "q_video_features": """
+            SELECT video_id, decode_ok, w, h, fps, n_frames, duration_s,
+                   n_sampled, mean_luma
+            FROM read_parquet('/root/repo/golden/q_video_features.sf0.01.parquet')
+            ORDER BY video_id
+        """,
+        "q_audio_features": """
+            SELECT audio_id, decode_ok, sample_rate, channels, n_frames,
+                   duration_s, rms, peak
+            FROM read_parquet('/root/repo/golden/q_audio_features.sf0.01.parquet')
+            ORDER BY audio_id
+        """,
+        # q_crawl_visits: the flagship crawl's visit order — the golden is
+        # emitted by the SERIAL simulator (tools/make_golden.py ->
+        # colly_spark/simulator.py, engine-independent by construction) on
+        # the pinned CRAWL_FIXTURE web, not by Spark and not by SQL.
+        "q_crawl_visits": """
+            SELECT fetch_seq, url, depth
+            FROM read_parquet('/root/repo/golden/q_crawl_visits.parquet')
+            ORDER BY fetch_seq
         """,
         # the pair finder IS SQL-expressible given the golden signatures:
         # DuckDB recomputes the 4x16-bit band buckets, the mega-bucket cap,

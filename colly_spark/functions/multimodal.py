@@ -218,19 +218,22 @@ def _parse_y4m_header(data: bytes) -> tuple[int, int, tuple[int, int], str, int]
     w = h = 0
     fps = (30, 1)
     cs = "420"  # spec default when no C tag
-    for field in data[len(_Y4M_MAGIC):nl].decode("ascii", "replace").split(" "):
-        if not field:
-            continue
-        tag, val = field[0], field[1:]
-        if tag == "W":
-            w = int(val)
-        elif tag == "H":
-            h = int(val)
-        elif tag == "F":
-            num, den = val.split(":")
-            fps = (int(num), int(den))
-        elif tag == "C":
-            cs = val
+    try:
+        for field in data[len(_Y4M_MAGIC):nl].decode("ascii", "replace").split(" "):
+            if not field:
+                continue
+            tag, val = field[0], field[1:]
+            if tag == "W":
+                w = int(val)
+            elif tag == "H":
+                h = int(val)
+            elif tag == "F":
+                num, den = val.split(":")
+                fps = (int(num), int(den))
+            elif tag == "C":
+                cs = val
+    except ValueError:  # e.g. 'Wabc' — malformed header int must reject as
+        raise NotImplementedError("Y4M header field unparseable") from None
     if w <= 0 or h <= 0:
         raise NotImplementedError("Y4M header missing W/H")
     return w, h, fps, cs, nl + 1
@@ -240,8 +243,15 @@ def _y4m_plane_sizes(w: int, h: int, cs: str) -> tuple[int, int, int]:
     if cs.startswith("mono"):
         return w * h, 0, 0
     if cs.startswith("420"):
+        # odd W/H with subsampled chroma would make the upsampled plane
+        # mismatch the luma plane (raw numpy shape error downstream) —
+        # reject here with the documented exception type instead
+        if w % 2 or h % 2:
+            raise NotImplementedError(f"Y4M C420 requires even W/H, got {w}x{h}")
         c = (w // 2) * (h // 2)
     elif cs.startswith("422"):
+        if w % 2:
+            raise NotImplementedError(f"Y4M C422 requires even W, got {w}")
         c = (w // 2) * h
     elif cs.startswith("444"):
         c = w * h
@@ -336,8 +346,10 @@ VIDEO_FEATURES_SCHEMA = StructType(
 
 def video_features(videos: DataFrame, id_col: str = "video_id",
                    bytes_col: str = "bytes", sample_every: int = 30) -> DataFrame:
-    """Decode + feature-extract video payloads (dims, fps, duration, mean
-    luma over sampled frames) in Arrow-batched pandas over ``mapInPandas`` —
+    """Decode + feature-extract video payloads (dims, fps, duration,
+    BT.601-weighted mean luma over sampled frames — the same ``mean_luma``
+    definition as :func:`image_features`) in Arrow-batched pandas over
+    ``mapInPandas`` —
     same quarantine-and-count shape as :func:`audio_features`: undecodable
     rows come back ``decode_ok=false`` instead of being dropped."""
 
@@ -356,7 +368,12 @@ def video_features(videos: DataFrame, id_col: str = "video_id",
                         n = i + 1
                         if i % sample_every == 0:
                             n_sampled += 1
-                            lumas.append(float(frame.mean()))
+                            # BT.601-weighted luma — the SAME definition as
+                            # image_features' mean_luma (one name, one formula)
+                            lumas.append(float(
+                                (0.299 * frame[..., 0] + 0.587 * frame[..., 1]
+                                 + 0.114 * frame[..., 2]).mean()
+                            ))
                 except (NotImplementedError, ValueError):
                     rows.append((vid, False, 0, 0, 0.0, 0, 0.0, 0, 0.0))
                     continue

@@ -276,6 +276,20 @@ def test_y4m_decode_and_sampling():
         multimodal.sample_video_frames(
             b"YUV4MPEG2 W8 H6 F25:1 C410\nFRAME\n" + b"\x80" * 100
         )
+    # odd dims with subsampled chroma and malformed header ints reject as
+    # NotImplementedError too (not a leaked numpy/int ValueError)
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_video_frames(
+            b"YUV4MPEG2 W7 H6 F25:1 C420\nFRAME\n" + b"\x80" * 100
+        )
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_video_frames(
+            b"YUV4MPEG2 W7 H6 F25:1 C422\nFRAME\n" + b"\x80" * 100
+        )
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_video_frames(
+            b"YUV4MPEG2 Wabc H6 F25:1 C420\nFRAME\n" + b"\x80" * 100
+        )
 
 
 def test_video_features_mapinpandas(spark):

@@ -1,5 +1,5 @@
-"""Golden-parquet oracles for the two seeded-hash queries DuckDB cannot
-express (q_minhash_neardup, q_simhash).
+"""Golden-parquet oracles for the queries DuckDB cannot express
+(q_minhash_neardup, q_simhash, q_video_features, q_audio_features).
 
 Computed by an INDEPENDENT pure-Python implementation: parquet read via
 pyarrow, hashing via colly_spark.xxh (a from-spec xxHash64 reimplementation
@@ -132,6 +132,140 @@ def minhash_pairs(docs: list[tuple[int, str]]) -> list[tuple[int, int, float]]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# q_video_features / q_audio_features goldens (VERDICT r4 item 3).
+#
+# The driver-gate payloads are PURE functions of doc_id
+# (__spark_entry__.q_video_features / q_audio_features synthesize them
+# deterministically), so the expected feature rows are computable here
+# without Spark and without importing colly_spark.functions: re-synthesize
+# the same Y4M/WAV streams from the spec and decode them with independent
+# numpy code (BT.601 limited-range YUV->RGB; wave-format PCM scaling). The
+# float expressions mirror the engine's documented formulas — identical
+# numpy dtypes/ops so the round(x, 6) results match bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def video_feature_row(doc_id: int) -> tuple:
+    import zlib
+
+    import numpy as np
+
+    h = zlib.crc32(str(doc_id).encode())
+    w, ht, n = 8, 6, 1 + h % 5
+    # BT.601 limited-range, neutral chroma (U=V=128): R=G=B=clip(1.164*(Y-16));
+    # array (not scalar) float32 math so numpy promotion matches the decoder
+    yplane = np.full((ht, w), h % 200, dtype=np.uint8)
+    c = np.clip(1.164 * (yplane.astype(np.float32) - 16.0), 0, 255).astype(np.uint8)
+    frame = np.stack([c, c, c], axis=-1)
+    luma = float(
+        (0.299 * frame[..., 0] + 0.587 * frame[..., 1] + 0.114 * frame[..., 2]).mean()
+    )
+    n_sampled = (n + 1) // 2  # sample_every=2: frames 0,2,4,...
+    fps = 25.0
+    return (
+        f"vid-{doc_id}", True, w, ht, round(fps, 6), n,
+        round(n / fps, 6), n_sampled,
+        round(float(np.mean([luma] * n_sampled)), 6),
+    )
+
+
+def audio_feature_row(doc_id: int) -> tuple:
+    import zlib
+
+    import numpy as np
+
+    h = zlib.crc32(str(doc_id).encode())
+    n, amp = 400 + h % 400, 0.1 + (h % 8) / 10.0
+    t = np.arange(n)
+    pcm = (amp * 32767 * np.sin(t / (3 + h % 7))).astype("<i2")
+    samples = (pcm.astype(np.float32) / 32768.0).reshape(-1, 1)
+    return (
+        f"aud-{doc_id}", True, 8000, 1, n,
+        round(n / 8000, 6),
+        round(float(np.sqrt((samples ** 2).mean())), 6),
+        round(float(np.abs(samples).max()), 6),
+    )
+
+
+def write_multimodal_goldens(outdir: str, sfname: str, doc_ids: list[int]) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = sorted(doc_ids)[:64]  # the driver queries take the first 64 by doc_id
+    vrows = [video_feature_row(d) for d in ids]
+    pq.write_table(
+        pa.table(
+            {k: [r[i] for r in vrows] for i, k in enumerate(
+                ["video_id", "decode_ok", "w", "h", "fps", "n_frames",
+                 "duration_s", "n_sampled", "mean_luma"])},
+            schema=pa.schema([
+                ("video_id", pa.string()), ("decode_ok", pa.bool_()),
+                ("w", pa.int32()), ("h", pa.int32()), ("fps", pa.float64()),
+                ("n_frames", pa.int64()), ("duration_s", pa.float64()),
+                ("n_sampled", pa.int64()), ("mean_luma", pa.float64()),
+            ]),
+        ),
+        os.path.join(outdir, f"q_video_features.{sfname}.parquet"),
+    )
+    arows = [audio_feature_row(d) for d in ids]
+    pq.write_table(
+        pa.table(
+            {k: [r[i] for r in arows] for i, k in enumerate(
+                ["audio_id", "decode_ok", "sample_rate", "channels",
+                 "n_frames", "duration_s", "rms", "peak"])},
+            schema=pa.schema([
+                ("audio_id", pa.string()), ("decode_ok", pa.bool_()),
+                ("sample_rate", pa.int32()), ("channels", pa.int32()),
+                ("n_frames", pa.int64()), ("duration_s", pa.float64()),
+                ("rms", pa.float64()), ("peak", pa.float64()),
+            ]),
+        ),
+        os.path.join(outdir, f"q_audio_features.{sfname}.parquet"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_crawl_visits golden (VERDICT r4 item 4): the flagship crawl's expected
+# (fetch_seq, url, depth) rows, emitted by the SERIAL golden simulator
+# (colly_spark/simulator.py — a from-scratch pure-Python crawler that shares
+# no code with the Spark engine), on the pinned fixture of
+# __spark_entry__.CRAWL_FIXTURE. This turns visit-order equality — the
+# strongest crawl-correctness property — into a driver-gate row.
+# ---------------------------------------------------------------------------
+
+
+def write_crawl_golden(outdir: str) -> int:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from colly_spark.config import CrawlConfig, LimitRule
+    from colly_spark.fixtures import SiteSpec, build_site, make_seeds
+    from colly_spark.simulator import simulate
+
+    site = build_site(SiteSpec(n_domains=3, pages_per_domain=12, seed=42))
+    cfg = CrawlConfig(
+        max_depth=3,
+        ignore_robots_txt=False,
+        limit_rules=(LimitRule(domain_glob="*.test", delay_ms=50, parallelism=4),),
+        shuffle_partitions=8,
+    )
+    sim = simulate(site, make_seeds([f"http://d0{d}.test/page/0" for d in range(3)]),
+                   cfg, max_rounds=6)
+    visits = sorted(sim.visits, key=lambda v: v["fetch_seq"])
+    pq.write_table(
+        pa.table(
+            {"fetch_seq": [v["fetch_seq"] for v in visits],
+             "url": [v["url"] for v in visits],
+             "depth": [v["depth"] for v in visits]},
+            schema=pa.schema([("fetch_seq", pa.int64()), ("url", pa.string()),
+                              ("depth", pa.int32())]),
+        ),
+        os.path.join(outdir, "q_crawl_visits.parquet"),
+    )
+    return len(visits)
+
+
 def main(sf_dirs: list[str]) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -165,7 +299,11 @@ def main(sf_dirs: list[str]) -> None:
             ),
             os.path.join(outdir, f"q_minhash_neardup.{sfname}.parquet"),
         )
-        print(f"{sfname}: {len(sim_rows)} simhash rows, {len(pairs)} minhash pairs")
+        write_multimodal_goldens(outdir, sfname, [d for d, _ in docs])
+        print(f"{sfname}: {len(sim_rows)} simhash rows, {len(pairs)} minhash pairs, "
+              f"{min(64, len(docs))} video/audio feature rows")
+    nv = write_crawl_golden(outdir)
+    print(f"q_crawl_visits: {nv} simulator visit rows")
 
 
 if __name__ == "__main__":
