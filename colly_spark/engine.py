@@ -112,11 +112,16 @@ class Crawler:
         images: DataFrame,
         robots: DataFrame | None = None,
         checkpoint_dir: str | None = None,
+        fetcher=None,
     ):
         self.spark = spark
         self.cfg = cfg
         self.pages = pages
         self.images = images
+        # X1 seam: an optional real fetch stage (operators/httpfetch.py) that
+        # replaces the synthetic content join — it must append the same page
+        # columns the join provides, given the dispatch frame
+        self.fetcher = fetcher
         self.robots_fixture = robots if robots is not None else spark.createDataFrame(
             [], schema=schemas.ROBOTS_FIXTURE
         )
@@ -200,6 +205,15 @@ class Crawler:
             self._n_hdr_pages = pages.where(
                 F.col("require_header").isNotNull()
             ).count()
+        if self.fetcher is not None and (self._n_cookie_pages or self._n_hdr_pages):
+            # over real HTTP those gates live server-side (the jar rides the
+            # Cookie header); the fetcher seam would need to send/receive
+            # them on the wire — loudly out of scope for the drop-in fetcher
+            raise NotImplementedError(
+                "fetcher mode does not support cookie/header-gated fixture "
+                "pages; serve them from the fixture join or extend "
+                "HttpFetcher to carry the jar on the wire"
+            )
         self.stats: list[RoundStats] = []
         self._pins: list[DataFrame] = []
         self._prebuild()
@@ -1209,9 +1223,17 @@ class Crawler:
         d = sched_op.salted_repartition(
             d, cfg.shuffle_partitions, target, stamp_partition_col="fetch_partition"
         )
-        d = d.join(
-            self._page_side, F.col("__effective_url") == F.col("__pu"), "left"
-        )
+        if self.fetcher is not None:
+            # X1 real fetch: the fetcher appends the page columns by GETting
+            # __effective_url over a socket (operators/httpfetch.py) — same
+            # schema the synthetic join below produces, so everything
+            # downstream (status rewrites, body cap, parse, cache
+            # write-back) is byte-identical between the two modes
+            d = self.fetcher(d)
+        else:
+            d = d.join(
+                self._page_side, F.col("__effective_url") == F.col("__pu"), "left"
+            )
 
         # U3 cookie availability for the final request = the committed jar
         # (previous rounds, host-keyed) + cookies set by this request's OWN
