@@ -13,7 +13,9 @@ evaluates both selector languages over it:
   ``:nth-child(an+b)``/``:nth-last-child(an+b)``, the of-type family
   (``:first-of-type``/``:last-of-type``/``:nth-of-type``/
   ``:nth-last-of-type``), ``:only-child``/``:only-of-type``, ``:empty``,
-  ``:not(compound)``, the element-state pseudos ``:root``/``:checked``/
+  ``:not(compound, ...)``, ``:is(compound, ...)``/``:where(...)``
+  (match-any grouping; identical here since a match-only engine has no
+  specificity), the element-state pseudos ``:root``/``:checked``/
   ``:disabled``/``:enabled``/``:link``, and cascadia's jQuery-extension pseudos
   ``:contains("text")`` (case-insensitive substring over text content) and
   ``:has(selector)`` (descendant exists — subtree-scoped), compounds
@@ -34,8 +36,11 @@ evaluates both selector languages over it:
   step) — the forms colly's own tests exercise (colly_test.go:1573-1631)
   — delegated to ElementTree's ElementPath after a small translation.
   On top of ElementPath, a stepwise evaluator handles ``contains()`` /
-  ``starts-with()`` / ``[text()='v']`` / ``[.='v']`` predicates in ANY step
-  (``//a[contains(@href,'x')]/span``) and the full
+  ``starts-with()`` / ``[text()='v']`` / ``[.='v']`` / ``not(pred)`` /
+  ``normalize-space(subject)`` (as a subject of contains/starts-with/=) /
+  ``position() OP n`` / ``last()-n`` predicates in ANY step
+  (``//a[contains(@href,'x')]/span``), quote-aware (brackets and slashes
+  inside string literals are content), and the full
   XPath 1.0 element-axis set — ``parent::``/``..``/``self::``,
   ``following-sibling::``/``preceding-sibling::``,
   ``ancestor(-or-self)::``/``descendant(-or-self)::``,
@@ -186,6 +191,33 @@ def _parse_nth(arg: str) -> tuple[int, int]:
     raise CssSelectorError(f"unsupported :nth-child() argument {arg!r}")
 
 
+def _split_top_level(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` outside brackets/parens/quotes — ',' inside
+    ``:is(a, b)`` or ``:contains("x,y")`` is content, not a group break.
+    Pieces are stripped; empties are kept (callers reject them loudly)."""
+    out: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    quote = ""
+    for ch in s:
+        if quote:
+            if ch == quote:
+                quote = ""
+        elif ch in "\"'":
+            quote = ch
+        elif ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth = max(0, depth - 1)
+        elif ch == sep and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+            continue
+        buf.append(ch)
+    out.append("".join(buf).strip())
+    return out
+
+
 def _compile_compound(s: str) -> list[tuple]:
     """One compound selector ('a.cls[href]:first-child') -> simple tests."""
     tests: list[tuple] = []
@@ -252,9 +284,20 @@ def _compile_compound(s: str) -> list[tuple]:
                     raise CssSelectorError(f"empty :has() in {s!r}")
                 tests.append(("has", compile_css(parg.strip())))
             elif name == "not":
-                if not (parg or "").strip():
+                # CSS4-style selector LIST argument (cascadia accepts the
+                # grouping form): matches when NO alternative matches
+                alts = _split_top_level(parg or "", ",")
+                if not all(alts):
                     raise CssSelectorError(f"empty :not() in {s!r}")
-                tests.append(("not", _compile_compound(parg.strip())))
+                tests.append(("not", [_compile_compound(a) for a in alts]))
+            elif name in ("is", "where"):
+                # :is()/:where() — matches when ANY alternative compound
+                # matches (identical here: specificity has no meaning in a
+                # match-only engine)
+                alts = _split_top_level(parg or "", ",")
+                if not all(alts):
+                    raise CssSelectorError(f"empty :{name}() in {s!r}")
+                tests.append(("is", [_compile_compound(a) for a in alts]))
             else:
                 raise CssSelectorError(f"unsupported pseudo-class :{name} in {s!r}")
         else:
@@ -271,8 +314,7 @@ def compile_css(selector: str) -> list[list[tuple]]:
     '' (leftmost), ' ' (descendant), '>' (child), '+' (adjacent sibling),
     '~' (general sibling)."""
     chains = []
-    for alt in selector.split(","):
-        alt = alt.strip()
+    for alt in _split_top_level(selector, ","):
         if not alt:
             raise CssSelectorError(f"empty alternative in {selector!r}")
         # bracket/paren-aware tokenization: '~' and whitespace inside
@@ -411,7 +453,10 @@ def _matches_compound(el: ET.Element, tests: list[tuple], ctx: tuple) -> bool:
             if not css_select(el, t[1]):
                 return False
         elif t[0] == "not":
-            if _matches_compound(el, t[1], ctx):
+            if any(_matches_compound(el, c, ctx) for c in t[1]):
+                return False
+        elif t[0] == "is":
+            if not any(_matches_compound(el, c, ctx) for c in t[1]):
                 return False
         else:
             _, name, op, val = t
@@ -518,26 +563,43 @@ def css_select(root: ET.Element, selector: str | list) -> list[ET.Element]:
 
 
 _XP_ATTR_TAIL = re.compile(r"/@([\w:-]+)$")
+# a predicate "subject" — the node/string a test applies to: @attr, text(),
+# '.', a child tag, or normalize-space() of any of those (bare
+# normalize-space() means normalize-space(string(.)), per XPath 1.0)
+_XP_SUBJECT = (
+    r"(@[\w:-]+|text\(\)|\.|[\w:-]+"
+    r"|normalize-space\(\s*(?:@[\w:-]+|text\(\)|\.)?\s*\))"
+)
 _XP_FUNC_PRED = re.compile(
     r"^(contains|starts-with)"
-    r"\((@[\w:-]+|text\(\)|\.|[\w:-]+)\s*,\s*(['\"])(.*?)\3\)$"
+    r"\(" + _XP_SUBJECT + r"\s*,\s*(['\"])(.*?)\3\)$"
 )
 _XP_TEXT_EQ_PRED = re.compile(
-    r"^(text\(\)|\.|[\w:-]+)\s*=\s*(['\"])(.*?)\2$"
+    r"^" + _XP_SUBJECT + r"\s*=\s*(['\"])(.*?)\2$"
 )
 _XP_AXIS_STEP = re.compile(
     r"^(following-sibling|preceding-sibling|following|preceding|parent"
     r"|ancestor-or-self|ancestor|descendant-or-self|descendant|self)"
     r"::(\*|[\w:-]+)(.*)$"
 )
-_XP_PRED = re.compile(r"\[([^\[\]]*)\]")
+_XP_POSITION_PRED = re.compile(r"^position\(\)\s*(!=|<=|>=|=|<|>)\s*(\d+)$")
+_XP_LAST_MINUS = re.compile(r"^last\(\)\s*-\s*(\d+)$")
+# tokens ElementPath cannot evaluate — route the path to the stepwise
+# evaluator when any appears
+_XP_STEPWISE_TOKENS = (
+    "contains(", "starts-with(", "not(", "position()", "normalize-space(",
+)
+
+
+def _xp_needs_stepwise(s: str) -> bool:
+    return (
+        any(t in s for t in _XP_STEPWISE_TOKENS)
+        or re.search(r"\[(?:text\(\)|\.)\s*=", s) is not None
+    )
 
 
 def _xpath_elements(root: ET.Element, p: str) -> list[ET.Element]:
-    if (
-        "contains(" in p or "starts-with(" in p or "::" in p or ".." in p
-        or re.search(r"\[(?:text\(\)|\.)\s*=", p)
-    ):
+    if _xp_needs_stepwise(p) or "::" in p or ".." in p:
         return _xpath_steps_eval(root, p)
     try:
         if p.startswith("//"):
@@ -556,7 +618,9 @@ def _xpath_elements(root: ET.Element, p: str) -> list[ET.Element]:
 
 def _xpath_split_steps(p: str) -> list[tuple[bool, str]]:
     """Path -> [(descendant_axis, step_text)] ('//x/y//z' splits on '/'
-    outside predicates; a '//' separator marks its right-hand step)."""
+    outside predicates; a '//' separator marks its right-hand step).
+    Quote-aware: '[', ']' and '/' inside a string literal (e.g.
+    ``//a[contains(@href,']/x')]``) are content, not structure."""
     steps: list[tuple[bool, str]] = []
     desc = False
     i = 0
@@ -566,14 +630,20 @@ def _xpath_split_steps(p: str) -> list[tuple[bool, str]]:
         i = 1
     buf: list[str] = []
     depth = 0
+    quote = ""
     n = len(p)
     while i < n:
         ch = p[i]
-        if ch == "[":
+        if quote:
+            if ch == quote:
+                quote = ""
+        elif ch in "'\"" and depth > 0:
+            quote = ch
+        elif ch == "[":
             depth += 1
         elif ch == "]":
             depth = max(0, depth - 1)
-        if ch == "/" and depth == 0:
+        elif ch == "/" and depth == 0:
             steps.append((desc, "".join(buf)))
             buf = []
             if i + 1 < n and p[i + 1] == "/":
@@ -589,88 +659,140 @@ def _xpath_split_steps(p: str) -> list[tuple[bool, str]]:
     return steps
 
 
+def _xp_pred_bodies(preds_s: str, path: str) -> list[str]:
+    """Split a step's consecutive ``[...]`` groups into their bodies,
+    quote-aware (a ']' inside a string literal does not close the group)."""
+    s = preds_s.strip()
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        if s[i] != "[":
+            raise ValueError(f"unsupported predicate syntax in XPath {path!r}")
+        depth, j, quote = 1, i + 1, ""
+        while j < n:
+            ch = s[j]
+            if quote:
+                if ch == quote:
+                    quote = ""
+            elif ch in "'\"":
+                quote = ch
+            elif ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth:
+            raise ValueError(f"unbalanced predicate brackets in XPath {path!r}")
+        out.append(s[i + 1:j])
+        i = j + 1
+    return out
+
+
+def _xp_norm_space(s: str) -> str:
+    """XPath 1.0 normalize-space(): trim + collapse whitespace runs."""
+    return " ".join(s.split())
+
+
+def _xp_subject_value(e: ET.Element, subj: str) -> str | None:
+    """String-value of a predicate subject for one element (None = absent).
+
+    Child-element subjects take the FIRST child with that tag — XPath's
+    string() of a node-set."""
+    m = re.fullmatch(r"normalize-space\(\s*(.*?)\s*\)", subj)
+    if m:
+        v = _xp_subject_value(e, m.group(1) or ".")
+        return None if v is None else _xp_norm_space(v)
+    if subj == "text()":
+        return _direct_text(e)
+    if subj == ".":
+        return text_content(e)
+    if subj.startswith("@"):
+        return e.get(subj[1:])
+    return next((text_content(c) for c in e if c.tag == subj), None)
+
+
+def _xp_elem_test(body: str, path: str):
+    """Compile an element-wise (non-positional) predicate body into a
+    callable(el) -> bool. Positional forms are list-level and handled by
+    _xpath_apply_preds; inside not() they are rejected loudly."""
+    body = body.strip()
+    if (
+        re.fullmatch(r"\d+", body) or body == "last()"
+        or _XP_LAST_MINUS.match(body) or _XP_POSITION_PRED.match(body)
+    ):
+        raise ValueError(
+            f"positional predicate inside not() in XPath {path!r}"
+        )
+    mn = re.fullmatch(r"not\((.*)\)", body, re.S)
+    if mn:
+        inner = _xp_elem_test(mn.group(1), path)
+        return lambda e: not inner(e)
+    mc = _XP_FUNC_PRED.match(body)
+    if mc:
+        fn, subj, needle = mc.group(1), mc.group(2), mc.group(4)
+        if fn == "contains":
+            def test(hay: str) -> bool:
+                return needle in hay
+        else:  # starts-with
+            def test(hay: str) -> bool:
+                return hay.startswith(needle)
+        return lambda e: (
+            (v := _xp_subject_value(e, subj)) is not None and test(v)
+        )
+    me = _XP_TEXT_EQ_PRED.match(body)
+    if me:
+        subj, lit = me.group(1), me.group(3)
+        if (
+            subj in ("text()", ".") or subj.startswith("@")
+            or subj.startswith("normalize-space")
+        ):
+            return lambda e: _xp_subject_value(e, subj) == lit
+        # [tag='v'] — ElementPath's child-equality form: ANY child matches
+        return lambda e: any(
+            c.tag == subj and text_content(c) == lit for c in e
+        )
+    if re.fullmatch(r"@[\w:-]+", body):
+        return lambda e: e.get(body[1:]) is not None
+    if re.fullmatch(r"[\w:-]+", body):
+        # [tag] — a child element with that tag exists
+        return lambda e: any(c.tag == body for c in e)
+    raise ValueError(f"unsupported predicate [{body}] in XPath {path!r}")
+
+
 def _xpath_apply_preds(
-    cand: list[ET.Element], preds_s: str, path: str, allow_positional: bool = True
+    cand: list[ET.Element], preds_s: str, path: str
 ) -> list[ET.Element]:
     """Apply a step's ``[...]`` predicates in order to a candidate list that
     is already in this step's axis order for ONE context node — so a
-    positional ``[n]`` is XPath's per-context position (and counts from the
-    nearest sibling on the reverse ``preceding-sibling::`` axis)."""
-    pos = 0
-    s = preds_s.strip()
-    while pos < len(s):
-        m = _XP_PRED.match(s, pos)
-        if m is None:
-            raise ValueError(f"unsupported predicate syntax in XPath {path!r}")
-        body = m.group(1).strip()
-        pos = m.end()
-        mc = _XP_FUNC_PRED.match(body)
-        me = _XP_TEXT_EQ_PRED.match(body)
-        if mc:
-            fn, subj, needle = mc.group(1), mc.group(2), mc.group(4)
-            if fn == "contains":
-                def test(hay: str) -> bool:
-                    return needle in hay
-            else:  # starts-with
-                def test(hay: str) -> bool:
-                    return hay.startswith(needle)
-            if subj == "text()":
-                cand = [e for e in cand if test(_direct_text(e))]
-            elif subj == ".":
-                cand = [e for e in cand if test(text_content(e))]
-            elif subj.startswith("@"):
-                cand = [
-                    e for e in cand
-                    if e.get(subj[1:]) is not None and test(e.get(subj[1:]))
-                ]
+    positional ``[n]`` / ``[last()-k]`` / ``[position() OP k]`` is XPath's
+    per-context position (and counts from the nearest sibling on the
+    reverse ``preceding-sibling::`` axis)."""
+    for body in _xp_pred_bodies(preds_s, path):
+        body = body.strip()
+        mp = _XP_POSITION_PRED.match(body)
+        ml = _XP_LAST_MINUS.match(body)
+        if mp or ml or body == "last()" or re.fullmatch(r"\d+", body):
+            if mp:
+                op, k = mp.group(1), int(mp.group(2))
+                cmp = {
+                    "=": lambda i: i == k, "!=": lambda i: i != k,
+                    "<": lambda i: i < k, "<=": lambda i: i <= k,
+                    ">": lambda i: i > k, ">=": lambda i: i >= k,
+                }[op]
+                cand = [e for i, e in enumerate(cand, 1) if cmp(i)]
+            elif ml:
+                i = len(cand) - 1 - int(ml.group(1))
+                cand = [cand[i]] if i >= 0 else []
+            elif body == "last()":
+                cand = cand[-1:]
             else:
-                # child-element subject: string-value of the FIRST child
-                # with that tag (XPath's string() of a node-set)
-                def first_child_text(e):
-                    return next(
-                        (text_content(c) for c in e if c.tag == subj), None
-                    )
-                cand = [
-                    e for e in cand
-                    if (t := first_child_text(e)) is not None and test(t)
-                ]
-        elif me:
-            # [text()='v'] / [.='v'] string equality (direct text vs full
-            # text content — the same simplification contains() uses)
-            subj, lit = me.group(1), me.group(3)
-            if subj == "text()":
-                cand = [e for e in cand if _direct_text(e) == lit]
-            elif subj == ".":
-                cand = [e for e in cand if text_content(e) == lit]
-            else:  # [tag='v'] — ElementPath's own child-equality form
-                cand = [
-                    e for e in cand
-                    if any(c.tag == subj and text_content(c) == lit for c in e)
-                ]
-        elif re.fullmatch(r"\d+", body):
-            if not allow_positional:
-                # '//x[contains(...)][n]': XPath's proximity rule makes the
-                # position per PARENT, not per context subtree — reject
-                # rather than silently diverge
-                raise ValueError(
-                    f"positional predicate after '//'+contains() in {path!r}"
-                )
-            k = int(body)
-            cand = [cand[k - 1]] if len(cand) >= k else []
-        elif body == "last()":
-            if not allow_positional:
-                raise ValueError(
-                    f"positional predicate after '//'+contains() in {path!r}"
-                )
-            cand = cand[-1:]
-        elif re.fullmatch(r"@[\w:-]+", body):
-            cand = [e for e in cand if e.get(body[1:]) is not None]
+                k = int(body)
+                cand = [cand[k - 1]] if len(cand) >= k else []
         else:
-            mm = re.fullmatch(r"@([\w:-]+)\s*=\s*(['\"])(.*?)\2", body)
-            if mm:
-                cand = [e for e in cand if e.get(mm.group(1)) == mm.group(3)]
-            else:
-                raise ValueError(f"unsupported predicate [{body}] in XPath {path!r}")
+            test = _xp_elem_test(body, path)
+            cand = [e for e in cand if test(e)]
     return cand
 
 
@@ -746,17 +868,25 @@ def _xpath_steps_eval(root: ET.Element, p: str) -> list[ET.Element]:
                 if tag != "*":
                     cand = [e for e in cand if e.tag == tag]
                 nxt.extend(_xpath_apply_preds(cand, preds, p))
-        elif ("contains(" in step or "starts-with(" in step
-              or re.search(r"\[(?:text\(\)|\.)\s*=", step)):
+        elif _xp_needs_stepwise(step):
             mt = re.match(r"^(\*|[\w:-]+)(.*)$", step)
             if mt is None:
                 raise ValueError(f"unsupported step {step!r} in XPath {p!r}")
             tag, preds = mt.group(1), mt.group(2)
             for node in nodes:
-                cand = node.findall(f".//{tag}" if desc else tag)
-                nxt.extend(
-                    _xpath_apply_preds(cand, preds, p, allow_positional=not desc)
-                )
+                if desc:
+                    # '//tag[pred]': predicates — positional ones included —
+                    # apply per PARENT (XPath's proximity rule: position()
+                    # counts within each child:: node-list, not globally);
+                    # the post-step doc-order sort restores global order
+                    for par in node.iter():
+                        cand = [
+                            c for c in par if tag == "*" or c.tag == tag
+                        ]
+                        nxt.extend(_xpath_apply_preds(cand, preds, p))
+                else:
+                    cand = node.findall(tag)
+                    nxt.extend(_xpath_apply_preds(cand, preds, p))
         else:
             if "::" in step:
                 # unhandled axis (ancestor::, following::, ...): ElementPath

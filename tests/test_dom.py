@@ -688,3 +688,87 @@ def test_css_element_state_pseudos():
     assert ids("a:link") == ["a1"]
     assert [e.tag for e in dom.css_select(root, ":root")] == ["html"]
     assert ids(":root > body a:link") == ["a1"]
+
+
+def test_xpath_function_predicates():
+    """position()/not()/normalize-space() predicates (VERDICT r4 item 6;
+    reference xmlquery evaluates full XPath 1.0, xmlelement.go:26-42)."""
+    import pytest
+
+    tree = dom.parse_xml(
+        "<list>"
+        '<item><a href="/a">Alpha</a></item>'
+        '<item><a href="/b">  Beta   two </a></item>'
+        "<item><a>Gamma</a></item>"
+        '<item><a href="/d">Delta</a></item>'
+        "</list>"
+    )
+    sel = lambda p: dom.xpath_select(tree, p)
+    txt = lambda p: [dom.text_content(e).strip() for e in sel(p)]
+
+    # position() with every comparison op, per-parent ('//' step) and
+    # relative-step contexts
+    assert txt("//item[position()>2]/a") == ["Gamma", "Delta"]
+    assert txt("//list/item[position()<=2]/a") == ["Alpha", "Beta   two"]
+    assert txt("//list/item[position()!=1]/a") == ["Beta   two", "Gamma", "Delta"]
+    assert txt("//list/item[position()=4]/a") == ["Delta"]
+    # per-PARENT proximity: position() inside '//' counts within each parent
+    ptree = dom.parse_xml("<r><g><x>1</x><x>2</x></g><g><x>3</x><x>4</x></g></r>")
+    assert [dom.text_content(e) for e in dom.xpath_select(ptree, "//x[position()=2]")] == ["2", "4"]
+
+    # not() over attribute, function, and child-tag predicates
+    assert txt("//item/a[not(@href)]") == ["Gamma"]
+    assert txt("//item/a[not(contains(@href,'b'))]") == ["Alpha", "Gamma", "Delta"]
+    assert txt("//list/item[not(a)]") == []
+
+    # normalize-space(): bare (string(.)), of text(), of an attribute
+    assert txt("//a[normalize-space()='Beta two']") == ["Beta   two"]
+    assert txt("//a[contains(normalize-space(text()),'Beta two')]") == ["Beta   two"]
+    assert sel("//a[starts-with(normalize-space(@href),'/d')]/@href") == ["/d"]
+
+    # last()-n in a stepwise path, and position composing after an axis
+    assert txt("//list/item[last()-2]/a") == ["Beta   two"]
+    assert txt("//item[2]/following-sibling::item[position()<=1]/a") == ["Gamma"]
+
+    # positional inside not() has no per-element meaning: loud reject
+    with pytest.raises(ValueError):
+        sel("//item[not(2)]")
+
+
+def test_xpath_quoted_brackets_in_literals():
+    """A ']' or '/' inside a predicate string literal is content, not
+    structure (ADVICE r4: the splitter must be quote-aware)."""
+    tree = dom.parse_xml(
+        '<r><a href="x]/y">one</a><a href="plain">two</a></r>'
+    )
+    assert [dom.text_content(e) for e in
+            dom.xpath_select(tree, "//a[contains(@href,']/y')]")] == ["one"]
+    assert dom.xpath_select(tree, "//a[@href='x]/y']/text()") == ["one"]
+
+
+def test_css_is_where_grouping():
+    """:is()/:where() match-any grouping (cascadia-style), comma-aware
+    splitting inside parens and quoted :contains arguments."""
+    import pytest
+
+    root = dom.parse_html(
+        "<html><body>"
+        '<h1 id="h">t</h1><h2 id="h2">s</h2>'
+        '<p id="p1" class="x">one,two</p><p id="p2">b</p>'
+        '<div id="d"><span id="s">q</span></div>'
+        "</body></html>"
+    )
+    ids = lambda sel: [e.get("id") for e in dom.css_select(root, sel)]
+    assert ids(":is(h1, h2)") == ["h", "h2"]
+    assert ids(":where(h1, p.x)") == ["h", "p1"]      # alias of :is here
+    assert ids("div :is(span, em)") == ["s"]
+    assert ids(":is(p:not(.x))") == ["p2"]            # one nesting level
+    # CSS4 list argument to :not — none of the alternatives may match
+    assert ids("p:not(.x, #p2)") == []
+    # a top-level comma inside a quoted :contains argument is content
+    assert ids('p:contains("one,two")') == ["p1"]
+    # group + :is in the same selector string
+    assert ids(":is(h1, h2), p.x") == ["h", "h2", "p1"]
+    for bad in (":is()", ":where( , )", "p:not(.x,)"):
+        with pytest.raises(dom.CssSelectorError):
+            dom.css_select(root, bad)
