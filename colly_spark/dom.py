@@ -10,7 +10,8 @@ evaluates both selector languages over it:
 - CSS subset: tag, ``*``, ``.class``, ``#id``, ``[attr]``, ``[attr=val]``,
   ``[attr~=val]``, ``[attr^=]``/``[attr$=]``/``[attr*=]``/``[attr|=]``, the
   structural pseudo-classes ``:first-child``/``:last-child``/
-  ``:nth-child(an+b)``/``:nth-last-child(an+b)``, the of-type family
+  ``:nth-child(an+b)``/``:nth-last-child(an+b)`` (including the
+  ``an+b of S`` filtered form), the of-type family
   (``:first-of-type``/``:last-of-type``/``:nth-of-type``/
   ``:nth-last-of-type``), ``:only-child``/``:only-of-type``, ``:empty``,
   ``:not(compound, ...)``, ``:is(compound, ...)``/``:where(...)``
@@ -241,12 +242,27 @@ def _compile_compound(s: str) -> list[tuple]:
                 tests.append(("nth", 0, 1))
             elif name == "last-child":
                 tests.append(("last",))
-            elif name == "nth-child":
-                a, b = _parse_nth(parg or "")
-                tests.append(("nth", a, b))
-            elif name == "nth-last-child":
-                a, b = _parse_nth(parg or "")
-                tests.append(("nth_last", a, b))
+            elif name in ("nth-child", "nth-last-child"):
+                arg = (parg or "").strip()
+                last = name == "nth-last-child"
+                mof = re.match(r"(?is)^(.+?)\s+of\s+(.+)$", arg)
+                if mof:
+                    # ':nth-child(An+B of S)': the An+B-th among siblings
+                    # MATCHING S (and the element itself must match S)
+                    a, b = _parse_nth(mof.group(1).strip())
+                    alts = _split_top_level(mof.group(2), ",")
+                    if not all(alts):
+                        raise CssSelectorError(f"empty 'of' selector in {s!r}")
+                    tests.append(
+                        ("nth_of", a, b, last,
+                         [_compile_compound(x) for x in alts])
+                    )
+                elif last:
+                    a, b = _parse_nth(arg)
+                    tests.append(("nth_last", a, b))
+                else:
+                    a, b = _parse_nth(arg)
+                    tests.append(("nth", a, b))
             elif name == "first-of-type":
                 tests.append(("nth_type", 0, 1))
             elif name == "last-of-type":
@@ -457,6 +473,24 @@ def _matches_compound(el: ET.Element, tests: list[tuple], ctx: tuple) -> bool:
                 return False
         elif t[0] == "is":
             if not any(_matches_compound(el, c, ctx) for c in t[1]):
+                return False
+        elif t[0] == "nth_of":
+            _, a, b, last, alts = t
+            cont = container.get(id(el))
+            if cont is None:
+                return False
+            matching = [
+                c for c in cont
+                if any(_matches_compound(c, cc, ctx) for cc in alts)
+            ]
+            pos1 = next(
+                (i for i, c in enumerate(matching, 1) if c is el), None
+            )
+            if pos1 is None:  # the element itself must match S
+                return False
+            if last:
+                pos1 = len(matching) - pos1 + 1
+            if not _nth_ok(a, b, pos1):
                 return False
         else:
             _, name, op, val = t

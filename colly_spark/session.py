@@ -22,17 +22,30 @@ def build_session(
     # post-launch are silently ignored). PYSPARK_GATEWAY_PORT is how
     # PythonRunner hands the pre-built JVM to this process.
     if "PYSPARK_GATEWAY_PORT" in os.environ:
-        b = (
-            SparkSession.builder.appName(app)
-            .config("spark.sql.shuffle.partitions", str(shuffle))
-            .config("spark.sql.adaptive.enabled", "true")
-            .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-            .config("spark.sql.adaptive.skewJoin.enabled", "true")
-            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-            .config("spark.sql.maxPlanStringLength", "1048576")
-            .config("spark.sql.session.timeZone", "UTC")
-        )
+        # These are DEFAULTS, not overrides: a key the user already passed
+        # via spark-submit --conf / spark-defaults.conf wins. Attaching to
+        # the submitted gateway (idempotent; getOrCreate does the same) is
+        # what lets SparkConf see the submitted values.
+        from pyspark import SparkContext
+        from pyspark.conf import SparkConf
+
+        SparkContext._ensure_initialized()
+        submitted = SparkConf(loadDefaults=True)
+        b = SparkSession.builder.appName(app)
+        for k, v in (
+            ("spark.sql.shuffle.partitions", str(shuffle)),
+            ("spark.sql.adaptive.enabled", "true"),
+            ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+            ("spark.sql.adaptive.skewJoin.enabled", "true"),
+            ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+            ("spark.sql.execution.arrow.maxRecordsPerBatch", "10000"),
+            ("spark.sql.maxPlanStringLength", "1048576"),
+            ("spark.sql.session.timeZone", "UTC"),
+        ):
+            if not submitted.contains(k):
+                b = b.config(k, v)
+        # SPARK_GRAFT_CONF stays an explicit override — applied last, wins
+        # over both the defaults above and the submitted conf
         for kv in filter(None, os.environ.get("SPARK_GRAFT_CONF", "").split(";")):
             k, _, v = kv.partition("=")
             b = b.config(k.strip(), v.strip())

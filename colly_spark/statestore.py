@@ -33,6 +33,7 @@ import sqlite3
 import tempfile
 from concurrent.futures import ThreadPoolExecutor
 
+from pyspark import inheritable_thread_target
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -47,21 +48,20 @@ def run_jobs_concurrent(spark: SparkSession, thunks: list):
     (it is the documented multi-tenant pattern) and py4j releases the
     GIL on socket waits, so submitting the batch from a small thread
     pool collapses K barriers into ~1 without touching plan semantics.
-    The job description is a thread-local in Spark — re-pin the caller's
-    inside each worker so the UI still attributes jobs to the round
-    stage."""
+    Job description, job group, scheduler pool and the rest of the
+    caller's JVM-thread local properties are propagated into each worker
+    via ``inheritable_thread_target`` (captured here, at submit time):
+    under pinned-thread mode (PYSPARK_PIN_THREAD=true, the default since
+    Spark 3.2) each pooled Python thread gets its own JVM thread, which
+    would otherwise start with EMPTY local properties; with pinning
+    disabled the wrapper is a passthrough and the shared JVM thread state
+    already carries them."""
     if not thunks:
         return []
     if len(thunks) == 1:
         return [thunks[0]()]
-    sc = spark.sparkContext
-    desc = sc.getLocalProperty("spark.job.description")
 
-    def run(t):
-        if desc is not None:
-            sc.setJobDescription(desc)
-        return t()
-
+    run = inheritable_thread_target(lambda t: t())
     with ThreadPoolExecutor(max_workers=min(8, len(thunks))) as ex:
         return list(ex.map(run, thunks))
 
@@ -393,9 +393,9 @@ class StateStore:
         self.tables[name] = scan
 
     def commit_round(self, round_no: int, counters: dict[str, int]) -> None:
-        self.completed_round = round_no
-        self.counters = dict(counters)
         if not self.dir:
+            self.completed_round = round_no
+            self.counters = dict(counters)
             return
         # durably write every delta staged this round as ONE concurrent
         # batch of independent parquet-write jobs (one segment per table —
@@ -414,6 +414,13 @@ class StateStore:
             self.spark,
             [lambda n=n, s=s, df=df: self._io_write(n, s, df) for n, s, df in writes],
         )
+        # in-process commit point: only after every durable write landed.
+        # A write that throws leaves completed_round at the prior round, so
+        # the store never believes uncommitted round=round_no segments are
+        # readable (_read_table filters r <= completed_round) even if a
+        # caller were to catch the exception and continue.
+        self.completed_round = round_no
+        self.counters = dict(counters)
         for (name, seg, _), scan in zip(writes, scans):
             if name in self.bucketed:
                 # the durable scan becomes the tail frame: materialized +
@@ -520,8 +527,27 @@ class SqliteStateStore(StateStore):
             ).fetchall()
         return [r[0] for r in rows]
 
+    #: hard cap on rows one segment may transit through the driver — this
+    #: backend's contract is single-node, and it must fail loudly rather
+    #: than OOM the driver when pointed at an at-scale crawl
+    #: (COLLY_SQLITE_MAX_SEGMENT_ROWS overrides; parquet checkpoint dirs
+    #: have no such cap because their writes never leave the executors)
+    MAX_SEGMENT_ROWS = 5_000_000
+
     def _io_write(self, name: str, seg: str, df: DataFrame) -> DataFrame:
-        rows = df.collect()
+        cap = int(
+            os.environ.get("COLLY_SQLITE_MAX_SEGMENT_ROWS", self.MAX_SEGMENT_ROWS)
+        )
+        # limit(cap+1) bounds driver memory during the guard itself: the
+        # overflow is detected from ONE extra row, not a full collect
+        rows = df.limit(cap + 1).collect()
+        if len(rows) > cap:
+            raise RuntimeError(
+                f"sqlite state backend: segment {name}/{seg} exceeds "
+                f"{cap} rows. Rows transit the driver in this single-node "
+                "backend; use a parquet checkpoint_dir for at-scale crawls "
+                "(or raise COLLY_SQLITE_MAX_SEGMENT_ROWS)."
+            )
         with self._conn() as db:
             db.execute(
                 "INSERT OR REPLACE INTO segments (tbl, seg, data) VALUES (?, ?, ?)",
@@ -531,15 +557,25 @@ class SqliteStateStore(StateStore):
         return self.spark.createDataFrame(rows, schema=self.schemas[name])
 
     def _io_read(self, name: str, segs: list[str]) -> DataFrame:
-        rows = []
+        # one batched SELECT per ~500 segments (SQLite's default host-
+        # parameter limit is 999) instead of one per segment; rows are
+        # assembled in the caller's seg order to keep reads deterministic
+        blob_of: dict[str, bytes] = {}
         with self._conn() as db:
-            for seg in segs:
-                got = db.execute(
-                    "SELECT data FROM segments WHERE tbl = ? AND seg = ?",
-                    (name, seg),
-                ).fetchone()
-                if got is not None:
-                    rows.extend(pickle.loads(got[0]))
+            for i in range(0, len(segs), 500):
+                chunk = segs[i:i + 500]
+                marks = ",".join("?" * len(chunk))
+                blob_of.update(
+                    db.execute(
+                        f"SELECT seg, data FROM segments"
+                        f" WHERE tbl = ? AND seg IN ({marks})",
+                        (name, *chunk),
+                    ).fetchall()
+                )
+        rows = []
+        for seg in segs:
+            if seg in blob_of:
+                rows.extend(pickle.loads(blob_of[seg]))
         return self.spark.createDataFrame(rows, schema=self.schemas[name])
 
     def _io_delete(self, name: str, seg: str) -> None:

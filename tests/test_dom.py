@@ -99,8 +99,6 @@ def test_css_unsupported_raises():
     with pytest.raises(dom.CssSelectorError):
         dom.compile_css("a:visited")  # browser history: unknowable here
     with pytest.raises(dom.CssSelectorError):
-        dom.compile_css("p:nth-child(2 of .x)")  # CSS4 'of' form
-    with pytest.raises(dom.CssSelectorError):
         dom.compile_css("p:not()")  # empty argument
     with pytest.raises(dom.CssSelectorError):
         dom.compile_css("a >")  # dangling combinator
@@ -772,3 +770,26 @@ def test_css_is_where_grouping():
     for bad in (":is()", ":where( , )", "p:not(.x,)"):
         with pytest.raises(dom.CssSelectorError):
             dom.css_select(root, bad)
+
+
+def test_css_nth_child_of_selector():
+    """':nth-child(An+B of S)': position counts among siblings matching S,
+    and the element itself must match S."""
+    import pytest
+
+    root = dom.parse_html(
+        "<ul>"
+        '<li class="a" id="l1">1</li><li class="b" id="l2">2</li>'
+        '<li class="a" id="l3">3</li><li class="b" id="l4">4</li>'
+        '<li class="a" id="l5">5</li>'
+        "</ul>"
+    )
+    ids = lambda sel: [e.get("id") for e in dom.css_select(root, sel)]
+    assert ids(":nth-child(2n+1 of .a)") == ["l1", "l5"]
+    assert ids(":nth-child(even of li.a)") == ["l3"]
+    assert ids(":nth-last-child(1 of .b)") == ["l4"]
+    assert ids("li:nth-child(1 of .a, .b)") == ["l1"]   # selector-list S
+    # plain an+b still counts ALL element siblings
+    assert ids(":nth-child(2)") == ["l2"]
+    with pytest.raises(dom.CssSelectorError):
+        dom.css_select(root, ":nth-child(2 of )")
