@@ -320,6 +320,17 @@ def q_minhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_lsh_pairs(d, jaccard_threshold=0.8).orderBy("a", "b")
 
 
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard near-dup pairs (shared-shingle
+    candidates, document-frequency cap 64, threshold 0.6) — the exact
+    complement to q_minhash_neardup's estimated path. Oracle: DuckDB
+    recomputes the identical shingling/cap/join relationally."""
+    from colly_spark.functions.dedup import ngram_jaccard_pairs
+
+    d = _read(spark, sf, "documents")
+    return ngram_jaccard_pairs(d).orderBy("a", "b")
+
+
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash signatures (pure-JVM bit kernel). Oracle: golden parquet from
     the independent pure-Python implementation (tools/make_golden.py)."""
@@ -443,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_bruteforce": q_ann_bruteforce,
         "q_ann_ivf": q_ann_ivf,
         "q_embedding_neardup": q_embedding_neardup,
+        "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_neardup": q_minhash_neardup,
         "q_simhash": q_simhash,
         "q_simhash_neardup": q_simhash_neardup,
@@ -640,6 +652,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, simhash
             FROM read_parquet('/root/repo/golden/q_simhash.sf0.01.parquet')
             ORDER BY doc_id
+        """,
+        # exact n-gram Jaccard: fully relational, so DuckDB recomputes the
+        # same shingling (lowercase, whitespace-normalized, 3-word windows,
+        # whole-text shingle when fewer than 3 words), the df<=64 shingle
+        # cap, the shared-shingle candidate join, and |A∪B| = szA+szB−inter
+        "q_ngram_jaccard": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split(regexp_replace(lower(trim(text)),
+                                                   '\\s+', ' ', 'g'), ' ') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+                            ELSE array_to_string(w[i+1:i+3], ' ') END AS shingle
+                FROM w, UNNEST(range(0, greatest(len(w) - 3, 0) + 1)) AS t(i)
+            ), keep AS (
+                SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64
+            ), sh2 AS (
+                SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id
+            ), inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+                FROM sh2 x JOIN sh2 y
+                  ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.6
+            ORDER BY a, b
         """,
         # q_video_features / q_audio_features: binary codecs, not
         # SQL-expressible — the oracle is a golden parquet whose rows are

@@ -242,6 +242,63 @@ def exact_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
     return out
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.6,
+    df_cap: int = 64,
+) -> DataFrame:
+    """Exact k-word-shingle Jaccard near-dup pairs ``(a < b, jaccard)`` —
+    the no-estimation complement to MinHash-LSH (minhash_lsh_pairs is the
+    scale path; this is the exact path and the verify oracle's shape).
+
+    Candidates are doc pairs SHARING at least one shingle, never all-pairs:
+    one distinct-shingle explode, a document-frequency cap (a shingle seen
+    in more than ``df_cap`` docs is dropped — the standard stopword-shingle
+    guard; without it one boilerplate shingle makes the self-join
+    quadratic in corpus size), then a shingle-keyed self-join whose worst
+    bucket is bounded by df_cap^2. |A ∩ B| falls out of the join as a
+    count; |A ∪ B| = |A| + |B| − |A ∩ B| from two skinny size joins.
+
+    Plan shape: the df cap is a WINDOW count over shingle, not a
+    groupBy+join-back — the explode is shuffled on shingle exactly once
+    and that one exchange is REUSED as both sides of the candidate
+    self-join (ReuseExchange; a join-back formulation recomputes the
+    explode subtree per reference). All JVM built-ins; AQE handles
+    shingle skew below the cap."""
+    from pyspark.sql import Window
+
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"),
+    )
+    sh2 = (
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .where(F.col("df") <= F.lit(df_cap))
+        .drop("df")
+    )
+    sizes = sh2.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh2.select(F.col("doc_id").alias("a"), "shingle")
+        .join(sh2.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a")), "a"
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b")), "b"
+        )
+        .where(jac >= F.lit(threshold))
+        .select("a", "b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id -> 64-bit SimHash as pure JVM expressions — no Python in the
     kernel (the earlier pandas-UDF version looped tokens per row, row-at-a-

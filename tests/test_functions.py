@@ -313,3 +313,35 @@ def test_video_features_mapinpandas(spark):
     assert 115.0 < v1["mean_luma"] < 126.0
     v2 = got["v2"]
     assert v2["decode_ok"] and v2["n_frames"] == 3 and v2["n_sampled"] == 1
+
+
+def test_ngram_jaccard_pairs_exact(docs):
+    """Exact shingle-Jaccard pairs vs a brute-force python recompute, and
+    the df-cap drops boilerplate shingles from candidacy."""
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+
+    def sh(t, k=3):
+        w = " ".join(t.lower().split()).split(" ")
+        return set(
+            " ".join(w[i:i + k]) for i in range(max(len(w) - k, 0) + 1)
+        ) if len(w) >= k else {" ".join(w)}
+
+    texts = dict(DOCS)
+    want = {}
+    for a in sorted(texts):
+        for b in sorted(texts):
+            if a < b:
+                sa, sb = sh(texts[a]), sh(texts[b])
+                j = len(sa & sb) / len(sa | sb)
+                if j >= 0.5:
+                    want[(a, b)] = round(j, 6)
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 1.0   # exact dup
+    assert (0, 5) in got and got[(0, 5)] == 1.0   # whitespace/case dup
+
+    # df-cap: with a cap of 1, every shared shingle is over-frequent and no
+    # candidate pairs survive
+    assert dedup.ngram_jaccard_pairs(docs, threshold=0.0, df_cap=1).count() == 0
