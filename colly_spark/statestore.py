@@ -61,7 +61,9 @@ def run_jobs_concurrent(spark: SparkSession, thunks: list):
     if len(thunks) == 1:
         return [thunks[0]()]
 
-    run = inheritable_thread_target(lambda t: t())
+    # the session-arg form also inherits session TAGS (the bare-callable
+    # form warns that tags are dropped)
+    run = inheritable_thread_target(spark)(lambda t: t())
     with ThreadPoolExecutor(max_workers=min(8, len(thunks))) as ex:
         return list(ex.map(run, thunks))
 
