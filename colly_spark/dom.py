@@ -842,6 +842,11 @@ def _xpath_steps_eval(root: ET.Element, p: str) -> list[ET.Element]:
     nodes: list[ET.Element] = [root]
     for desc, raw in _xpath_split_steps(p):
         step = raw.strip()
+        if step.startswith("@"):
+            # the attribute axis as a NON-final step: attribute nodes have
+            # no element children, so nothing downstream could match —
+            # reject loudly (final-step @attr is handled by xpath_select)
+            raise ValueError(f"attribute axis mid-path in XPath {p!r}")
         nxt: list[ET.Element] = []
         if step == "..":
             step = "parent::*"
@@ -963,6 +968,10 @@ def xpath_select(root: ET.Element, xpath: str) -> list:
       (:func:`_xpath_steps_eval`).
     """
     p = xpath.strip()
+    # 'attribute::x' is the verbose spelling of '@x' — normalize up front
+    # (final-step only, like '@x'; the attribute axis mid-path stays a
+    # loud reject since attribute nodes have no element children)
+    p = re.sub(r"(?<=[/\[(])attribute::(?=[\w:-])", "@", p)
     tail = None  # ('text',) | ('attr', name)
     if p.endswith("/text()"):
         tail = ("text",)

@@ -793,3 +793,18 @@ def test_css_nth_child_of_selector():
     assert ids(":nth-child(2)") == ["l2"]
     with pytest.raises(dom.CssSelectorError):
         dom.css_select(root, ":nth-child(2 of )")
+
+
+def test_xpath_attribute_axis_spelling():
+    """'attribute::x' normalizes to '@x' (final step and predicates); the
+    mid-path attribute axis stays a loud reject."""
+    import pytest
+
+    tree = dom.parse_xml('<r><a href="/x">one</a><a>two</a></r>')
+    assert dom.xpath_select(tree, "//a/attribute::href") == ["/x"]
+    assert dom.xpath_select(tree, "//a[attribute::href]/text()") == ["one"]
+    assert dom.xpath_select(
+        tree, "//a[contains(attribute::href,'x')]/text()"
+    ) == ["one"]
+    with pytest.raises(ValueError):
+        dom.xpath_select(tree, "//attribute::href/parent::a")
