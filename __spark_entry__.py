@@ -434,6 +434,85 @@ def q_audio_features(spark: SparkSession, sf: str) -> DataFrame:
     return audio_features(auds).orderBy("audio_id")
 
 
+def q_image_validate(spark: SparkSession, sf: str) -> DataFrame:
+    """The BASELINE input_hint invariant as a driver-gate row: an Iceberg-
+    shaped image+caption table ``(image_id, bytes, w, h, fmt, caption,
+    phash)`` is synthesized deterministically from doc_id (FPNG lossless /
+    FJPG lossy per the colly_spark.imagecodec stand-in codec — real libjpeg
+    is absent from this container), with a deterministic subset corrupted
+    (truncated payload) and another subset caption-mismatched so BOTH
+    outcomes of the gate are exercised. The operator under test is the real
+    U5 pipeline: payload.make_validate_udf() (Arrow-batched decode + dims +
+    PSNR>=40dB-for-lossy + phash recompute, colly_spark/operators/payload.py)
+    plus payload_ok_col's JVM caption equality. Oracle: GOLDEN PARQUET —
+    tools/make_golden.py re-synthesizes the same pixels and computes
+    PSNR/quantization/hash outcomes in independent numpy (no colly_spark
+    import). Reference parity target: colly's OnResponse image handling +
+    caption extraction (reference README.md:21 'Automatic ... handling';
+    invariant wording from BASELINE.json input_hint)."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.types import (BinaryType, IntegerType, LongType,
+                                   StringType, StructField, StructType)
+
+    from colly_spark.operators.payload import make_validate_udf, payload_ok_col
+
+    docs = _read(spark, sf, "documents").select("doc_id").orderBy("doc_id").limit(64)
+    schema = StructType([
+        StructField("image_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("caption", StringType()),
+        StructField("phash", LongType()),
+        StructField("caption_parsed", StringType()),
+    ])
+
+    def gen(batches):
+        from colly_spark.imagecodec import average_hash, encode, reference_pixels
+
+        for pdf in batches:
+            rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt",
+                                    "caption", "phash", "caption_parsed")}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                hh = zlib.crc32(str(did).encode())
+                iid = f"img-{did}"
+                w, ht = 16 + hh % 17, 16 + (hh >> 8) % 13
+                fmt = "png" if hh % 2 == 0 else "jpeg"
+                px = reference_pixels(iid, w, ht)
+                data = encode(px, fmt)
+                if hh % 11 == 0:  # corrupted payload -> img_ok must be False
+                    data = data[: len(data) - 8]
+                cap = f"figure {did}"
+                parsed = cap if hh % 7 != 0 else cap + " (ocr noise)"
+                for k, v in (("image_id", iid), ("bytes", data), ("w", w),
+                             ("h", ht), ("fmt", fmt), ("caption", cap),
+                             ("phash", average_hash(px)),
+                             ("caption_parsed", parsed)):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    imgs = docs.mapInPandas(gen, schema=schema)
+    v = make_validate_udf()(
+        F.col("bytes"), F.col("image_id"), F.col("w"), F.col("h"),
+        F.col("fmt"), F.col("phash"),
+    )
+    out = imgs.select(
+        "image_id", "fmt", "w", "h", "caption",
+        v.getField("img_ok").alias("img_ok"),
+        v.getField("psnr_db").alias("psnr_db"),
+        F.coalesce(F.col("caption_parsed") == F.col("caption"), F.lit(False)).alias("caption_ok"),
+        "caption_parsed",
+    ).select(
+        "image_id", "fmt", "w", "h", "img_ok", "psnr_db", "caption_ok",
+        payload_ok_col(F.col("img_ok"), F.col("caption_parsed"), F.col("caption")).alias("payload_ok"),
+    )
+    return out.orderBy("image_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_counters": q_counters,
@@ -460,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_neardup": q_simhash_neardup,
         "q_video_features": q_video_features,
         "q_audio_features": q_audio_features,
+        "q_image_validate": q_image_validate,
         "q_crawl_visits": q_crawl_visits,
     }
 
@@ -704,6 +784,11 @@ def oracle_sql() -> dict[str, str]:
                    duration_s, rms, peak
             FROM read_parquet('/root/repo/golden/q_audio_features.sf0.01.parquet')
             ORDER BY audio_id
+        """,
+        "q_image_validate": """
+            SELECT image_id, fmt, w, h, img_ok, psnr_db, caption_ok, payload_ok
+            FROM read_parquet('/root/repo/golden/q_image_validate.sf0.01.parquet')
+            ORDER BY image_id
         """,
         # q_crawl_visits: the flagship crawl's visit order — the golden is
         # emitted by the SERIAL simulator (tools/make_golden.py ->

@@ -51,3 +51,28 @@ def test_validate_payload_accepts_good_rejects_corrupt():
 def test_decode_garbage_none():
     assert ic.decode(b"") is None
     assert ic.decode(b"FPNG\x01\x00\x00\x00\x01\x00\x00\x00xx") is None
+
+
+def test_q_image_validate_gate_vs_independent_golden(spark):
+    """The q_image_validate driver-gate row (Arrow-batched validate UDF +
+    JVM caption equality over the synthesized input_hint table) must equal
+    tools/make_golden.image_validate_row — an independent numpy
+    re-implementation of the codec spec that imports no colly_spark code."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import __spark_entry__ as entry
+    from make_golden import image_validate_row
+
+    got = entry.q_image_validate(spark, "/root/testdata/sf0.001").collect()
+    assert len(got) == 64
+    outcomes = set()
+    for r in got:
+        did = int(r["image_id"].split("-")[1])
+        assert tuple(r) == image_validate_row(did)
+        outcomes.add((r["img_ok"], r["caption_ok"]))
+    # the fixture must exercise failure modes, not just the happy path
+    assert (True, True) in outcomes and (True, False) in outcomes
+    assert any(not io for io, _ in outcomes)

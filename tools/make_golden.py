@@ -235,6 +235,83 @@ def write_multimodal_goldens(outdir: str, sfname: str, doc_ids: list[int]) -> No
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# q_image_validate golden: the BASELINE input_hint invariant (decoded-pixel
+# PSNR>=40dB for lossy / exact for lossless + phash recompute + caption
+# equality) over the deterministic image+caption table the driver query
+# synthesizes from doc_id. Everything below is an INDEPENDENT numpy
+# re-implementation of the codec spec (colly_spark.imagecodec docstring) —
+# no colly_spark import: reference pixels are gradient+seeded-noise from a
+# blake2b(image_id) seed; 'jpeg' is 4-level quantization (>>2, dequant to
+# bin centers, clip 255); PSNR is 20*log10(255)-10*log10(mse) in float64.
+# ---------------------------------------------------------------------------
+
+
+def _img_pixels(image_id: str, w: int, h: int):
+    import hashlib
+
+    import numpy as np
+
+    seed = int.from_bytes(hashlib.blake2b(image_id.encode(), digest_size=8).digest(), "big")
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack(
+        [
+            (xx * 255 // max(w - 1, 1)),
+            (yy * 255 // max(h - 1, 1)),
+            ((xx + yy) * 255 // max(w + h - 2, 1)),
+        ],
+        axis=-1,
+    ).astype(np.int16)
+    noise = rng.integers(-16, 17, size=(h, w, 3), dtype=np.int16)
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def image_validate_row(doc_id: int) -> tuple:
+    import zlib
+
+    import numpy as np
+
+    hh = zlib.crc32(str(doc_id).encode())
+    iid = f"img-{doc_id}"
+    w, ht = 16 + hh % 17, 16 + (hh >> 8) % 13
+    fmt = "png" if hh % 2 == 0 else "jpeg"
+    caption_ok = hh % 7 != 0
+    if hh % 11 == 0:  # truncated payload: zlib stream undecodable
+        return (iid, fmt, w, ht, False, "0.0", caption_ok, False)
+    px = _img_pixels(iid, w, ht)
+    if fmt == "png":
+        # lossless roundtrip: exact pixels, phash recompute trivially matches
+        return (iid, fmt, w, ht, True, "inf", caption_ok, caption_ok)
+    dec = np.minimum(((px >> 2).astype(np.int16) << 2) + 2, 255).astype(np.uint8)
+    mse = np.mean((dec.astype(np.float64) - px.astype(np.float64)) ** 2)
+    p = 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)
+    img_ok = bool(p >= 40.0)
+    return (iid, fmt, w, ht, img_ok, f"{p:.2f}", caption_ok, img_ok and caption_ok)
+
+
+def write_image_golden(outdir: str, sfname: str, doc_ids: list[int]) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = sorted(doc_ids)[:64]
+    rows = [image_validate_row(d) for d in ids]
+    pq.write_table(
+        pa.table(
+            {k: [r[i] for r in rows] for i, k in enumerate(
+                ["image_id", "fmt", "w", "h", "img_ok", "psnr_db",
+                 "caption_ok", "payload_ok"])},
+            schema=pa.schema([
+                ("image_id", pa.string()), ("fmt", pa.string()),
+                ("w", pa.int32()), ("h", pa.int32()),
+                ("img_ok", pa.bool_()), ("psnr_db", pa.string()),
+                ("caption_ok", pa.bool_()), ("payload_ok", pa.bool_()),
+            ]),
+        ),
+        os.path.join(outdir, f"q_image_validate.{sfname}.parquet"),
+    )
+
+
 def write_crawl_golden(outdir: str) -> int:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -300,8 +377,10 @@ def main(sf_dirs: list[str]) -> None:
             os.path.join(outdir, f"q_minhash_neardup.{sfname}.parquet"),
         )
         write_multimodal_goldens(outdir, sfname, [d for d, _ in docs])
+        write_image_golden(outdir, sfname, [d for d, _ in docs])
         print(f"{sfname}: {len(sim_rows)} simhash rows, {len(pairs)} minhash pairs, "
-              f"{min(64, len(docs))} video/audio feature rows")
+              f"{min(64, len(docs))} video/audio feature rows, "
+              f"{min(64, len(docs))} image validate rows")
     nv = write_crawl_golden(outdir)
     print(f"q_crawl_visits: {nv} simulator visit rows")
 
