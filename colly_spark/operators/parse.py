@@ -138,14 +138,43 @@ def maybe_gunzip(body: bytes, content_type: str | None, path: str) -> bytes:
 _CHARSET_RE = re.compile(r"charset=[\"']?([\w.\-]+)", re.IGNORECASE)
 
 
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?([\w.\-]+)", re.IGNORECASE
+)
+
+
+def _meta_prescan(body: bytes) -> str | None:
+    """WHATWG-style meta prescan: look for ``<meta charset=...>`` (or the
+    http-equiv Content-Type form — the regex matches the charset= inside its
+    content attribute too) within the first 1024 bytes, the same window
+    x/net/html/charset.DetermineEncoding scans for the reference
+    (response.go:86-108, the encoding chain colly inherits). The declared
+    label is only trusted if Python knows the codec."""
+    m = _META_CHARSET_RE.search(body[:1024])
+    if not m:
+        return None
+    label = m.group(1).decode("ascii", errors="replace").lower()
+    try:
+        b"".decode(label)
+    except LookupError:
+        return None
+    return label
+
+
 def detect_charset(body: bytes) -> str:
     """P0 DetectCharset stand-in (response.go:97-106 uses chardet; this
-    container has no chardet, so: BOM sniff, strict-UTF-8 probe, latin-1
-    fallback — deterministic and sufficient for the fixture corpus)."""
+    container has no chardet, so the x/net/html/charset precedence minus the
+    statistical tail: BOM sniff, WHATWG meta prescan (first 1024 bytes),
+    strict-UTF-8 probe, latin-1 fallback — deterministic and sufficient for
+    the fixture corpus; the statistical-detector gap is the documented
+    divergence)."""
     if body[:3] == b"\xef\xbb\xbf":
         return "utf-8-sig"
     if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
         return "utf-16"
+    meta = _meta_prescan(body)
+    if meta:
+        return meta
     try:
         body.decode("utf-8")
         return "utf-8"

@@ -432,6 +432,20 @@ def test_charset_decode():
     assert body_text(latin, "text/html", detect=True) == latin.decode("latin-1")
     # BOM detection
     assert body_text("ü".encode("utf-8-sig"), None, detect=True) == "ü"
+    # WHATWG meta prescan (first 1024 bytes): the declared label wins even
+    # when the bytes would pass the UTF-8 probe or fall to latin-1
+    cp1251 = "<html><head><meta charset=windows-1251></head><body>мир</body></html>".encode("windows-1251")
+    assert "мир" in body_text(cp1251, "text/html", detect=True)
+    meta_httpequiv = (b'<html><head><meta http-equiv="Content-Type" '
+                      b'content="text/html; charset=iso-8859-1"></head>'
+                      b'<body>caf\xe9</body></html>')
+    assert "caf\xe9" in body_text(meta_httpequiv, "text/html", detect=True)
+    # an unknown declared label is ignored, not fatal
+    junk = b"<meta charset=not-a-codec><p>plain ascii</p>"
+    assert "plain ascii" in body_text(junk, "text/html", detect=True)
+    # the prescan window is 1024 bytes: a declaration past it is not seen
+    far = b"<!--" + b"x" * 1100 + b"--><meta charset=windows-1251>" + "мир".encode("windows-1251")
+    assert "мир" not in body_text(far, "text/html", detect=True)
 
 
 def test_fast_path_equals_dom_path():
