@@ -47,9 +47,14 @@ evaluates both selector languages over it:
   ``ancestor(-or-self)::``/``descendant(-or-self)::``,
   ``following::``/``preceding::`` — with simple predicates (positional
   indexes count along the axis direction, nearest-first on reverse axes).
-  The remaining XPath 1.0 surface (attribute/namespace axes as steps,
-  functions beyond contains/starts-with, arithmetic) raises ValueError
-  (loud reject, documented divergence from xmlquery's full XPath 1.0).
+  Number comparisons follow XPath 1.0 number() semantics in any step —
+  ``[@a OP n]`` / ``[text() OP n]`` / ``[child OP n]`` (node-set: ANY
+  matching child) for all six ops, plus ``count(child-test)`` and
+  ``string-length(subject)`` subjects and string ``!=``. The remaining
+  XPath 1.0 surface (attribute/namespace axes as mid-path steps,
+  substring()/translate()/mod and other arithmetic, multi-step count()
+  arguments) raises ValueError (loud reject, documented divergence from
+  xmlquery's full XPath 1.0).
 
 Everything here is pure Python over one in-memory tree per document; the
 Spark side calls it from an Arrow-batched pandas UDF (one parse per page,
@@ -622,13 +627,26 @@ _XP_LAST_MINUS = re.compile(r"^last\(\)\s*-\s*(\d+)$")
 # evaluator when any appears
 _XP_STEPWISE_TOKENS = (
     "contains(", "starts-with(", "not(", "position()", "normalize-space(",
+    "count(", "string-length(", "!=",
 )
+# XPath 1.0 number comparison: SUBJECT OP NUMBER with an UNQUOTED numeric
+# right side; subjects additionally allow count()/string-length()
+_XP_NUM_PRED = re.compile(r"^(.+?)\s*(!=|<=|>=|=|<|>)\s*(-?\d+(?:\.\d+)?)$")
+_XP_NUM_OPS = {
+    "=": lambda a, b: a == b, "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+}
 
 
 def _xp_needs_stepwise(s: str) -> bool:
     return (
         any(t in s for t in _XP_STEPWISE_TOKENS)
         or re.search(r"\[(?:text\(\)|\.)\s*=", s) is not None
+        # numeric comparisons: '<'/'>' anywhere in a predicate, or '='
+        # against an unquoted number — ElementPath only knows quoted equality
+        or re.search(r"\[[^\]]*[<>]", s) is not None
+        or re.search(r"=\s*-?\d", s) is not None
     )
 
 
@@ -787,12 +805,78 @@ def _xp_elem_test(body: str, path: str):
         return lambda e: any(
             c.tag == subj and text_content(c) == lit for c in e
         )
+    mq = re.fullmatch(_XP_SUBJECT + r"\s*!=\s*(['\"])(.*?)\2", body)
+    if mq:
+        subj, lit = mq.group(1), mq.group(3)
+        if (
+            subj in ("text()", ".") or subj.startswith("@")
+            or subj.startswith("normalize-space")
+        ):
+            # empty node-set (absent attr/text) compares false, per XPath
+            return lambda e: (
+                (v := _xp_subject_value(e, subj)) is not None and v != lit
+            )
+        # [tag!='v'] — node-set comparison: ANY child with a differing value
+        return lambda e: any(
+            c.tag == subj and text_content(c) != lit for c in e
+        )
+    mnum = _XP_NUM_PRED.fullmatch(body)
+    if mnum:
+        subj, op, rhs = mnum.group(1).strip(), mnum.group(2), float(mnum.group(3))
+        vals = _xp_numeric_values(subj, path)
+        cmpf = _XP_NUM_OPS[op]
+        return lambda e: any(cmpf(v, rhs) for v in vals(e))
     if re.fullmatch(r"@[\w:-]+", body):
         return lambda e: e.get(body[1:]) is not None
     if re.fullmatch(r"[\w:-]+", body):
         # [tag] — a child element with that tag exists
         return lambda e: any(c.tag == body for c in e)
     raise ValueError(f"unsupported predicate [{body}] in XPath {path!r}")
+
+
+def _xp_num(s: str | None) -> float | None:
+    """XPath number() of a string-value: leading/trailing space stripped,
+    decimal literal, else NaN — represented as None (comparisons false)."""
+    if s is None:
+        return None
+    try:
+        return float(s.strip())
+    except ValueError:
+        return None
+
+
+def _xp_numeric_values(subj: str, path: str):
+    """Compile a numeric-comparison subject into callable(el) ->
+    list[float]: count(child-test) and string-length(subject) plus every
+    string subject via number(); child-tag subjects yield one value per
+    matching child (XPath node-set comparison: ANY node may satisfy)."""
+    mc = re.fullmatch(r"count\(\s*(\*|[\w:-]+)\s*\)", subj)
+    if mc:
+        tag = mc.group(1)
+        return lambda e: [float(sum(1 for c in e if tag in ("*", c.tag)))]
+    ms = re.fullmatch(r"string-length\(\s*(.*?)\s*\)", subj)
+    if ms:
+        inner = ms.group(1) or "."
+        return lambda e: (
+            [] if (v := _xp_subject_value(e, inner)) is None
+            else [float(len(v))]
+        )
+    if (
+        subj in ("text()", ".") or subj.startswith("@")
+        or subj.startswith("normalize-space")
+    ):
+        return lambda e: (
+            [n] if (n := _xp_num(_xp_subject_value(e, subj))) is not None
+            else []
+        )
+    if re.fullmatch(r"[\w:-]+", subj):
+        return lambda e: [
+            n for c in e if c.tag == subj
+            if (n := _xp_num(text_content(c))) is not None
+        ]
+    raise ValueError(
+        f"unsupported numeric-comparison subject {subj!r} in XPath {path!r}"
+    )
 
 
 def _xpath_apply_preds(

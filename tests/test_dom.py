@@ -822,3 +822,55 @@ def test_xpath_attribute_axis_spelling():
     ) == ["one"]
     with pytest.raises(ValueError):
         dom.xpath_select(tree, "//attribute::href/parent::a")
+
+
+def test_xpath_numeric_comparisons_count_stringlength():
+    """XPath 1.0 number() comparisons — [@a OP n], [text() OP n],
+    [child OP n] (node-set: ANY child), count(), string-length(), and the
+    string != form (reference xmlquery is full XPath 1.0,
+    xmlelement.go:26-42)."""
+    import pytest
+
+    tree = dom.parse_xml(
+        "<cat>"
+        '<prod rank="3"><price>12.5</price><tag>x</tag><tag>y</tag>'
+        "<name>Widget</name></prod>"
+        '<prod rank="10"><price>7</price><name>Gadget</name></prod>'
+        '<prod rank="n/a"><price>30</price><price>2</price>'
+        "<name>Gizmo</name></prod>"
+        "<prod><name>Nameless</name></prod>"
+        "</cat>"
+    )
+    names = lambda p: [
+        dom.text_content(e) for e in dom.xpath_select(tree, p + "/name")
+    ]
+
+    # attribute numeric comparisons; non-numeric ('n/a') and absent -> false
+    assert names("//prod[@rank > 5]") == ["Gadget"]
+    assert names("//prod[@rank <= 3]") == ["Widget"]
+    assert names("//prod[@rank = 10]") == ["Gadget"]
+    assert names("//prod[@rank != 3]") == ["Gadget"]  # numeric != over node-set
+    # child-element numeric comparison: ANY matching child satisfies
+    assert names("//prod[price < 10]") == ["Gadget", "Gizmo"]
+    assert names("//prod[price >= 12.5]") == ["Widget", "Gizmo"]
+    # count() of a child test (and '*'), composing with other predicates
+    assert names("//prod[count(tag) = 2]") == ["Widget"]
+    assert names("//prod[count(price) > 1]") == ["Gizmo"]
+    assert names("//prod[count(*) = 1]") == ["Nameless"]
+    assert names("//prod[count(tag) = 0][price > 1]") == ["Gadget", "Gizmo"]
+    # string-length of an attribute / bare (string(.))
+    assert names("//prod[string-length(@rank) = 3]") == ["Gizmo"]
+    assert [dom.text_content(e) for e in
+            dom.xpath_select(tree, "//name[string-length() > 6]")] == ["Nameless"]
+    # string inequality (quoted literal), absent attr compares false
+    assert names("//prod[@rank != '3']") == ["Gadget", "Gizmo"]
+    # text() numeric comparison inside a deeper step
+    assert [dom.text_content(e) for e in
+            dom.xpath_select(tree, "//price[text() > 12]")] == ["12.5", "30"]
+    # not() composes with the numeric forms
+    assert names("//prod[not(count(price) > 0)]") == ["Nameless"]
+    # unsupported numeric subject stays a loud reject
+    with pytest.raises(ValueError):
+        dom.xpath_select(tree, "//prod[count(a/b) > 1]")
+    with pytest.raises(ValueError):
+        dom.xpath_select(tree, "//prod[last() > 2]")
