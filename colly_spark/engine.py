@@ -1549,8 +1549,10 @@ class Crawler:
         self.store.replace("candidates", children, rnd)
         # checkpoint BEFORE counting: the count then reads the materialized
         # blocks instead of executing the parse plan once for the count and
-        # a second time for the commit-time checkpoint (measured double-pass)
-        self.store.compact(["candidates"])
+        # a second time for the commit-time checkpoint (measured double-pass).
+        # Lazy mark + count = ONE job: the count computes every partition,
+        # which is exactly what materializes a lazy localCheckpoint.
+        self.store.compact(["candidates"], eager=False)
         n_children = _count(self.store.get("candidates"))
         # E5 parse-stage lineage: pages in, extracted links out, per fetch
         # partition (an agg over the cached skinny match frame)

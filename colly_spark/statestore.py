@@ -294,7 +294,7 @@ class StateStore:
             self._mem_appends.pop(name, None)
             self._mem_dirty.add(name)
 
-    def compact(self, names: list[str]) -> None:
+    def compact(self, names: list[str], eager: bool = True) -> None:
         """Truncate Catalyst lineage of iterative tables (memory mode).
 
         Bucketed tables compact incrementally: only the round's DELTA is
@@ -306,7 +306,14 @@ class StateStore:
         they run as one concurrent batch (run_jobs_concurrent) instead of
         one serial scheduling barrier per table. Disk mode skips the
         non-bucketed tables entirely: their lineage truncation comes free
-        from the durable-scan swap at commit_round."""
+        from the durable-scan swap at commit_round.
+
+        ``eager=False`` marks the checkpoint lazily: the caller's NEXT
+        full-scan action (e.g. a count) materializes it, folding the
+        checkpoint job and that action into one scheduling barrier. Only
+        safe when the caller's next action computes every partition —
+        a partial action (take/isEmpty) would checkpoint only the
+        partitions it touched."""
         batch: list[tuple[str, str, DataFrame]] = []  # (kind, name, frame)
         for name in names:
             if name in self.bucketed:
@@ -324,7 +331,7 @@ class StateStore:
             self._mem_dirty.discard(name)
         done = run_jobs_concurrent(
             self.spark,
-            [lambda df=df: df.localCheckpoint(eager=True) for _, _, df in batch],
+            [lambda df=df: df.localCheckpoint(eager=eager) for _, _, df in batch],
         )
         for (kind, name, _), ck in zip(batch, done):
             if kind == "tail":
