@@ -272,6 +272,20 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (MOSS; the
+    training-data-pipeline 'document fingerprinting (rolling hash)' op):
+    k=8-char shingles under a base-1000003 mod-2^64 polynomial rolling
+    hash, minimum per 4-hash window, distinct per doc — an Arrow-batched
+    numpy kernel with zero shuffles (dedup happens inside the kernel).
+    Oracle: DuckDB recomputes the modular rolling hash RELATIONALLY
+    (list_transform/list_reduce lambdas over HUGEINT) — no golden file."""
+    from colly_spark.functions.text import winnow_fingerprints
+
+    docs = _read(spark, sf, "documents")
+    return winnow_fingerprints(docs).orderBy("doc_id", "fp")
+
+
 def q_ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     from colly_spark.functions.similarity import brute_force_topk
 
@@ -530,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_stats": q_text_stats,
         "q_quality_scoring": q_quality_scoring,
         "q_lang_id": q_lang_id,
+        "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_ann_bruteforce": q_ann_bruteforce,
         "q_ann_ivf": q_ann_ivf,
         "q_embedding_neardup": q_embedding_neardup,
@@ -644,6 +659,47 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'en' ELSE 'und' END AS lang,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY 1 ORDER BY lang
+        """,
+        # winnowing recomputed RELATIONALLY: per doc, the k=8-char shingle
+        # rolling hashes (list_reduce over HUGEINT, % 2^64 = the kernel's
+        # uint64 wraparound), min per 4-hash window, distinct, two's
+        # complement into BIGINT
+        "q_winnow_fingerprints": """
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+              FROM documents
+            ),
+            hashes AS (
+              SELECT doc_id,
+                list_transform(
+                  range(1, length(s) - 8 + 2),
+                  i -> list_reduce(
+                         list_prepend(0::HUGEINT,
+                           list_transform(range(0, 8),
+                             j -> ord(substring(s, (i + j)::INT, 1))::HUGEINT)),
+                         (acc, c) ->
+                           (acc * 1000003 + c) % 18446744073709551616::HUGEINT
+                       )
+                ) AS hs
+              FROM norm WHERE length(s) >= 8
+            ),
+            fps AS (
+              SELECT doc_id,
+                list_distinct(
+                  CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+                       ELSE list_transform(range(1, len(hs) - 4 + 2),
+                                           w -> list_min(hs[w : w + 3]))
+                  END
+                ) AS fp_list
+              FROM hashes
+            )
+            SELECT doc_id,
+                   (CASE WHEN fp >= 9223372036854775808::HUGEINT
+                         THEN fp - 18446744073709551616::HUGEINT
+                         ELSE fp END)::BIGINT AS fp
+            FROM fps, UNNEST(fp_list) AS u(fp)
+            ORDER BY doc_id, fp
         """,
         "q_ann_bruteforce": """
             SELECT query_id, neighbor_id, rank FROM (

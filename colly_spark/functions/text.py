@@ -2,8 +2,11 @@
 language-ID heuristic, document fingerprinting.
 
 Everything is built-in ``pyspark.sql.functions`` (JVM-side, codegen'd) — no
-Python in the hot path. Each op has an exact ANSI-SQL oracle (DuckDB) wired
-in ``__spark_entry__.py``.
+Python in the hot path — except :func:`winnow_fingerprints`, whose
+char-level rolling hash has no JVM builtin and runs as an Arrow-batched
+numpy kernel. Each op has an exact ANSI-SQL oracle (DuckDB) wired in
+``__spark_entry__.py`` (winnowing's recomputes the modular rolling hash
+relationally with list lambdas + HUGEINT arithmetic).
 """
 
 from __future__ import annotations
@@ -64,6 +67,71 @@ def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the case/whitespace
     normalized text (portable across engines, unlike xxhash seeds)."""
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (the MOSS scheme,
+    Schleimer/Wilkerson/Aiken SIGMOD'03): normalize (lowercase, strip
+    non-alphanumerics), polynomial rolling hash over every k-char shingle
+    (base 1000003, modulus 2^64 — uint64 wraparound IS the modulus, exact
+    and portable), then keep the minimum hash of each length-``window``
+    hash window, distinct per document. Guarantee: two documents sharing
+    any normalized substring of length >= window+k-1 share at least one
+    fingerprint.
+
+    Char-level rolling hashes are not expressible in built-in JVM
+    functions, so this is an Arrow-batched mapInPandas numpy kernel (two
+    sliding-window passes per doc, no per-char Python). Fingerprints are
+    deduped INSIDE the kernel — doc_ids are unique per input row — so the
+    output needs no JVM distinct: zero shuffles at any scale. Returns
+    (doc_id, fp) with fp as signed int64 (two's-complement of the u64).
+    """
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    base = np.uint64(1000003)
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("fp", LongType()),
+    ])
+
+    def gen(batches):
+        import re as _re
+
+        strip = _re.compile(r"[^a-z0-9]")
+        for pdf in batches:
+            ids: list[int] = []
+            fps: list[np.ndarray] = []
+            for did, text in zip(pdf["doc_id"], pdf[text_col]):
+                s = strip.sub("", (text or "").lower())
+                if len(s) < k:
+                    continue
+                b = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+                grams = sliding_window_view(b, k).astype(np.uint64)
+                h = np.zeros(len(grams), dtype=np.uint64)
+                for j in range(k):  # k vector ops, wraps mod 2^64
+                    h = h * base + grams[:, j]
+                if len(h) <= window:
+                    sel = h.min(keepdims=True)
+                else:
+                    sel = sliding_window_view(h, window).min(axis=1)
+                u = np.unique(sel)
+                ids.extend([int(did)] * len(u))
+                fps.append(u)
+            yield pd.DataFrame({
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "fp": (np.concatenate(fps).view(np.int64)
+                       if fps else np.empty(0, dtype=np.int64)),
+            })
+
+    return docs.select("doc_id", text_col).mapInPandas(gen, schema=out_schema)
 
 
 def analyze(docs: DataFrame, text_col: str = "text") -> DataFrame:

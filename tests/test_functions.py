@@ -345,3 +345,64 @@ def test_ngram_jaccard_pairs_exact(docs):
     # df-cap: with a cap of 1, every shared shingle is over-frequent and no
     # candidate pairs survive
     assert dedup.ngram_jaccard_pairs(docs, threshold=0.0, df_cap=1).count() == 0
+
+
+def _py_winnow(text, k=8, w=4, base=1000003):
+    """Independent pure-Python winnowing recompute (no numpy)."""
+    import re
+
+    m = 1 << 64
+    s = re.sub(r"[^a-z0-9]", "", (text or "").lower())
+    if len(s) < k:
+        return []
+    hs = []
+    for i in range(len(s) - k + 1):
+        h = 0
+        for ch in s[i:i + k]:
+            h = (h * base + ord(ch)) % m
+        hs.append(h)
+    if len(hs) <= w:
+        fps = {min(hs)}
+    else:
+        fps = {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+    return sorted((f - m) if f >= (1 << 63) else f for f in fps)
+
+
+def test_winnow_fingerprints_vs_pure_python(spark):
+    """The numpy winnowing kernel equals a loop-level pure-Python recompute,
+    including the edge shapes: sub-k doc (no rows), exactly-k doc (one fp),
+    <=w hash count (single window), punctuation/case normalization."""
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog. Again, the fox!"),
+        (1, "short"),
+        (2, ""),
+        (3, "AbCdEfGh"),          # exactly k after normalization
+        (4, "abcdefghijk"),       # 4 hashes == w -> one window
+        (5, "zzzzzzzzzzzzzzzzzzzzzz"),  # constant text -> one distinct fp
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in text.winnow_fingerprints(df).collect():
+        got.setdefault(r["doc_id"], []).append(r["fp"])
+    for did, t in rows:
+        assert sorted(got.get(did, [])) == _py_winnow(t), did
+    assert 1 not in got and 2 not in got
+    assert len(got[3]) == 1 and len(got[5]) == 1
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """The winnowing guarantee: documents sharing a normalized substring of
+    length >= window+k-1 (11 chars here) share at least one fingerprint;
+    unrelated docs share none."""
+    common = "sharedpassagexyz"  # 16 chars > 11
+    rows = [
+        (10, f"left context {common} right tail"),
+        (11, f"totally other prefix {common} and ending"),
+        (12, "nothing in common with those documents at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in text.winnow_fingerprints(df).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[10] & fps[11]
+    assert not (fps[10] & fps[12]) and not (fps[11] & fps[12])
