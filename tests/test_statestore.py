@@ -233,3 +233,20 @@ def test_sqlite_segment_row_cap_guard(spark, tmp_path, monkeypatch):
     st2.commit_round(0, {})
     st3 = _store(spark, checkpoint_dir=str(tmp_path / "ok.db"))
     assert st3.get("url_seen").count() == 9
+
+
+def test_compact_lazy_then_count_materializes(spark):
+    """compact(eager=False) marks the checkpoint without a job; the
+    caller's following count (full-scan) materializes it, contents equal
+    to the eager path and lineage truncated (no source scan in the plan)."""
+    st = make_state_store(spark, {"url_seen": schemas.URL_SEEN}, None)
+    st.replace("url_seen", _rows(spark, [(7, 1), (9, 2)]), 0)
+    st.compact(["url_seen"], eager=False)
+    tbl = st.get("url_seen")
+    assert tbl.count() == 2  # materializing action
+    got = {(r["domain_hash"], r["url_hash"]) for r in tbl.collect()}
+    assert got == {(7, 1), (9, 2)}
+    # lineage truncated: the materialized checkpoint scans RDD blocks,
+    # not the original LocalTableScan
+    plan = tbl._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" not in plan
