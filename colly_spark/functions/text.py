@@ -93,45 +93,60 @@ def winnow_fingerprints(
     """
     import numpy as np
     import pandas as pd
-    from numpy.lib.stride_tricks import sliding_window_view
     from pyspark.sql.types import LongType, StructField, StructType
 
-    base = np.uint64(1000003)
     out_schema = StructType([
         StructField("doc_id", LongType()),
         StructField("fp", LongType()),
     ])
 
     def gen(batches):
-        import re as _re
-
-        strip = _re.compile(r"[^a-z0-9]")
         for pdf in batches:
             ids: list[int] = []
-            fps: list[np.ndarray] = []
+            fps: list = []
             for did, text in zip(pdf["doc_id"], pdf[text_col]):
-                s = strip.sub("", (text or "").lower())
-                if len(s) < k:
-                    continue
-                b = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
-                grams = sliding_window_view(b, k).astype(np.uint64)
-                h = np.zeros(len(grams), dtype=np.uint64)
-                for j in range(k):  # k vector ops, wraps mod 2^64
-                    h = h * base + grams[:, j]
-                if len(h) <= window:
-                    sel = h.min(keepdims=True)
-                else:
-                    sel = sliding_window_view(h, window).min(axis=1)
-                u = np.unique(sel)
-                ids.extend([int(did)] * len(u))
-                fps.append(u)
+                u = winnow_doc(text, k=k, window=window)
+                if len(u):
+                    ids.extend([int(did)] * len(u))
+                    fps.append(u)
             yield pd.DataFrame({
                 "doc_id": np.asarray(ids, dtype=np.int64),
-                "fp": (np.concatenate(fps).view(np.int64)
+                "fp": (np.concatenate(fps)
                        if fps else np.empty(0, dtype=np.int64)),
             })
 
     return docs.select("doc_id", text_col).mapInPandas(gen, schema=out_schema)
+
+
+_WINNOW_STRIP = None  # compiled lazily; workers each compile once
+
+
+def winnow_doc(text: str | None, k: int = 8, window: int = 4):
+    """The per-document winnowing kernel (numpy, two sliding-window
+    passes): distinct selected fingerprints as a signed-int64 array.
+    Exposed at module level so property tests can drive it directly."""
+    global _WINNOW_STRIP
+    import re as _re
+
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    if _WINNOW_STRIP is None:
+        _WINNOW_STRIP = _re.compile(r"[^a-z0-9]")
+    s = _WINNOW_STRIP.sub("", (text or "").lower())
+    if len(s) < k:
+        return np.empty(0, dtype=np.int64)
+    b = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+    grams = sliding_window_view(b, k).astype(np.uint64)
+    h = np.zeros(len(grams), dtype=np.uint64)
+    base = np.uint64(1000003)
+    for j in range(k):  # k vector ops, wraps mod 2^64
+        h = h * base + grams[:, j]
+    if len(h) <= window:
+        sel = h.min(keepdims=True)
+    else:
+        sel = sliding_window_view(h, window).min(axis=1)
+    return np.unique(sel).view(np.int64)
 
 
 def analyze(docs: DataFrame, text_col: str = "text") -> DataFrame:

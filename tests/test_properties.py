@@ -282,3 +282,108 @@ def test_nth_of_type_counts_same_tag_only(tags):
 
 if __name__ == "__main__":  # pragma: no cover
     pytest.main([__file__, "-q"])
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint kernel (functions/text.py)
+# ---------------------------------------------------------------------------
+
+
+def _py_winnow_ref(text, k=8, w=4, base=1000003):
+    import re
+
+    m = 1 << 64
+    s = re.sub(r"[^a-z0-9]", "", (text or "").lower())
+    if len(s) < k:
+        return []
+    hs = []
+    for i in range(len(s) - k + 1):
+        h = 0
+        for ch in s[i:i + k]:
+            h = (h * base + ord(ch)) % m
+        hs.append(h)
+    wins = [min(hs)] if len(hs) <= w else [
+        min(hs[j:j + w]) for j in range(len(hs) - w + 1)
+    ]
+    return sorted({(f - m) if f >= (1 << 63) else f for f in wins})
+
+
+@settings(**SETTINGS)
+@given(st.text(alphabet="abcXYZ 0123.,!?-\n", max_size=120))
+@example("")
+@example("abcdefgh")          # exactly k
+@example("a" * 11)            # hash count == window
+def test_winnow_kernel_matches_pure_python(text):
+    from colly_spark.functions.text import winnow_doc
+
+    assert sorted(winnow_doc(text).tolist()) == _py_winnow_ref(text)
+
+
+@settings(**SETTINGS)
+@given(
+    st.text(alphabet="qwerty123", min_size=11, max_size=30),
+    st.text(alphabet="abc def.", max_size=30),
+    st.text(alphabet="ghi jkl!", max_size=30),
+)
+def test_winnow_guarantee_property(shared, pre, post):
+    """Any two docs sharing a normalized substring of length >= window+k-1
+    (= 11) share at least one fingerprint, whatever surrounds it."""
+    from colly_spark.functions.text import winnow_doc
+
+    a = set(winnow_doc(pre + shared + post).tolist())
+    b = set(winnow_doc(post + shared + pre).tolist())
+    assert a & b
+
+
+# ---------------------------------------------------------------------------
+# XPath numeric predicates (dom.py)
+# ---------------------------------------------------------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.one_of(st.integers(-9, 20), st.just(None), st.just("junk")),
+             min_size=1, max_size=12),
+    st.integers(-5, 15),
+    st.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
+)
+def test_xpath_numeric_attr_matches_bruteforce(vals, rhs, op):
+    """[@v OP n] equals a python-side filter under XPath number()
+    semantics: absent and non-numeric attributes always compare false."""
+    import operator
+
+    from colly_spark.dom import parse_xml, xpath_select
+
+    body = "".join(
+        f'<item id="i{i}"/>' if v is None else f'<item id="i{i}" v="{v}"/>'
+        for i, v in enumerate(vals)
+    )
+    root = parse_xml(f"<r>{body}</r>")
+    got = {e.get("id") for e in xpath_select(root, f"//item[@v {op} {rhs}]")}
+    ops = {"=": operator.eq, "!=": operator.ne, "<": operator.lt,
+           "<=": operator.le, ">": operator.gt, ">=": operator.ge}
+    want = {
+        f"i{i}" for i, v in enumerate(vals)
+        if isinstance(v, int) and ops[op](float(v), float(rhs))
+    }
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(0, 4), min_size=1, max_size=8),
+       st.integers(0, 5),
+       st.sampled_from(["=", "<", ">", ">=", "<=", "!="]))
+def test_xpath_count_matches_bruteforce(kid_counts, rhs, op):
+    import operator
+
+    from colly_spark.dom import parse_xml, xpath_select
+
+    body = "".join(
+        f'<g id="g{i}">' + "<c/>" * n + "</g>" for i, n in enumerate(kid_counts)
+    )
+    root = parse_xml(f"<r>{body}</r>")
+    got = {e.get("id") for e in xpath_select(root, f"//g[count(c) {op} {rhs}]")}
+    ops = {"=": operator.eq, "!=": operator.ne, "<": operator.lt,
+           "<=": operator.le, ">": operator.gt, ">=": operator.ge}
+    want = {f"g{i}" for i, n in enumerate(kid_counts) if ops[op](n, rhs)}
+    assert got == want
