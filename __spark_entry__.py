@@ -234,12 +234,14 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
-    from colly_spark.functions.text import token_count, fingerprint
+    from colly_spark.functions.text import (bpe_token_count, fingerprint,
+                                            token_count)
 
     d = _read(spark, sf, "documents")
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
         F.length("text").alias("n_chars_sql"),
         fingerprint(F.col("text")).alias("fp"),
     )
@@ -637,6 +639,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
+                       AS n_bpe_tokens,
                    length(text) AS n_chars_sql,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
             FROM documents

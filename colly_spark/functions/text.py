@@ -31,6 +31,21 @@ def token_count(text: Column) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer regex (contractions, space-prefixed letter runs,
+# digit runs, punctuation runs, residual whitespace) — the 'BPE-ish regex'
+# token counter. No lookarounds, so Java (Spark) and RE2 (DuckDB) agree.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish pre-tokenization (JVM regexp_extract_all, codegen'd)."""
+    return F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def stopword_ratio(text: Column) -> Column:
     w = words(text)
     hits = F.size(F.filter(w, lambda x: x.isin(STOPWORD_LIST)))
@@ -154,6 +169,7 @@ def analyze(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id",
         token_count(t).alias("n_tokens"),
+        bpe_token_count(t).alias("n_bpe_tokens"),
         F.length(t).alias("n_chars_actual"),
         F.round(punct_ratio(t), 6).alias("punct_ratio"),
         F.round(stopword_ratio(t), 6).alias("stopword_ratio"),

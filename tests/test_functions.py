@@ -406,3 +406,25 @@ def test_winnow_guarantee_shared_substring(spark):
         fps.setdefault(r["doc_id"], set()).add(r["fp"])
     assert fps[10] & fps[11]
     assert not (fps[10] & fps[12]) and not (fps[11] & fps[12])
+
+
+def test_bpe_token_count_matches_python_re(spark):
+    """The BPE-ish regex tokenizer (JVM regexp_extract_all) equals a
+    python-re recompute on contractions, digit runs, punctuation runs, and
+    whitespace shapes — the pattern avoids lookarounds so Java, RE2
+    (DuckDB) and python agree."""
+    import re
+
+    rows = [
+        (0, "I'll say they're we've it's 100% fine!!!"),
+        (1, "spaces   and\ttabs\nnewlines"),
+        (2, ""),
+        (3, "abc123def456"),
+        (4, "don't-stop, (really)..."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n"] for r in
+           df.select("doc_id", text.bpe_token_count(F.col("text")).alias("n")).collect()}
+    pat = re.compile(text.BPE_TOKEN_RE)
+    for did, t in rows:
+        assert got[did] == len(pat.findall(t)), (did, pat.findall(t))
