@@ -428,3 +428,12 @@ def test_bpe_token_count_matches_python_re(spark):
     pat = re.compile(text.BPE_TOKEN_RE)
     for did, t in rows:
         assert got[did] == len(pat.findall(t)), (did, pat.findall(t))
+
+
+def test_winnow_plan_has_no_exchange(spark):
+    """winnow_fingerprints dedups inside the kernel, so the physical plan
+    must contain NO shuffle (Exchange) — the zero-shuffle-at-any-scale
+    property the operator claims."""
+    df = spark.createDataFrame([(1, "abcdefghijklmno")], "doc_id long, text string")
+    plan = text.winnow_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
