@@ -50,11 +50,16 @@ evaluates both selector languages over it:
   Number comparisons follow XPath 1.0 number() semantics in any step —
   ``[@a OP n]`` / ``[text() OP n]`` / ``[child OP n]`` (node-set: ANY
   matching child) for all six ops, plus ``count(child-test)`` and
-  ``string-length(subject)`` subjects and string ``!=``. The remaining
-  XPath 1.0 surface (attribute/namespace axes as mid-path steps,
-  substring()/translate()/mod and other arithmetic, multi-step count()
-  arguments) raises ValueError (loud reject, documented divergence from
-  xmlquery's full XPath 1.0).
+  ``string-length(subject)`` subjects and string ``!=``. String functions
+  ``substring(subj, start[, len])`` (XPath rounding), ``translate(subj,
+  from, to)``, ``substring-before``/``substring-after`` compose as
+  subjects of ``=``/``!=``/``contains``/``starts-with``/numeric
+  comparisons, and ``mod`` works both as ``position() mod N OP K`` and on
+  any numeric subject (dividend-sign semantics). The remaining XPath 1.0
+  surface (attribute/namespace axes as mid-path steps, ``+``/``-``/``*``/
+  ``div`` arithmetic, ``concat()``, multi-step count() arguments) raises
+  ValueError (loud reject, documented divergence from xmlquery's full
+  XPath 1.0, /root/reference/xmlelement.go:26-42).
 
 Everything here is pure Python over one in-memory tree per document; the
 Spark side calls it from an Arrow-batched pandas UDF (one parse per page,
@@ -63,6 +68,7 @@ SURVEY.md §2 P3), never per-row from the driver.
 
 from __future__ import annotations
 
+import math
 import re
 import xml.etree.ElementTree as ET
 from html.parser import HTMLParser
@@ -605,9 +611,23 @@ _XP_ATTR_TAIL = re.compile(r"/@([\w:-]+)$")
 # a predicate "subject" — the node/string a test applies to: @attr, text(),
 # '.', a child tag, or normalize-space() of any of those (bare
 # normalize-space() means normalize-space(string(.)), per XPath 1.0)
+# string-function subjects — substring()/translate()/substring-before()/
+# substring-after() over a base subject; args may hold quoted text with
+# any characters, plus text()/normalize-space()/ONE nested string-function
+# call (deeper nesting stays loud-rejected)
+_XP_STRFN_NAMES = r"(?:substring-before|substring-after|substring|translate)"
+_XP_STRFN_ATOM = r"(?:[^()'\"]|'[^']*'|\"[^\"]*\")"
+_XP_STRFN = (
+    _XP_STRFN_NAMES + r"\((?:" + _XP_STRFN_ATOM
+    + r"|text\(\)"
+    + r"|normalize-space\(" + _XP_STRFN_ATOM + r"*\)"
+    + r"|" + _XP_STRFN_NAMES + r"\(" + _XP_STRFN_ATOM + r"*\)"
+    + r")*\)"
+)
 _XP_SUBJECT = (
     r"(@[\w:-]+|text\(\)|\.|[\w:-]+"
-    r"|normalize-space\(\s*(?:@[\w:-]+|text\(\)|\.)?\s*\))"
+    r"|normalize-space\(\s*(?:@[\w:-]+|text\(\)|\.)?\s*\)"
+    r"|" + _XP_STRFN + r")"
 )
 _XP_FUNC_PRED = re.compile(
     r"^(contains|starts-with)"
@@ -621,13 +641,16 @@ _XP_AXIS_STEP = re.compile(
     r"|ancestor-or-self|ancestor|descendant-or-self|descendant|self)"
     r"::(\*|[\w:-]+)(.*)$"
 )
-_XP_POSITION_PRED = re.compile(r"^position\(\)\s*(!=|<=|>=|=|<|>)\s*(\d+)$")
+_XP_POSITION_PRED = re.compile(
+    r"^position\(\)(?:\s*mod\s*(\d+))?\s*(!=|<=|>=|=|<|>)\s*(\d+)$"
+)
 _XP_LAST_MINUS = re.compile(r"^last\(\)\s*-\s*(\d+)$")
 # tokens ElementPath cannot evaluate — route the path to the stepwise
 # evaluator when any appears
 _XP_STEPWISE_TOKENS = (
     "contains(", "starts-with(", "not(", "position()", "normalize-space(",
-    "count(", "string-length(", "!=",
+    "count(", "string-length(", "!=", "substring(", "translate(",
+    "substring-before(", "substring-after(",
 )
 # XPath 1.0 number comparison: SUBJECT OP NUMBER with an UNQUOTED numeric
 # right side; subjects additionally allow count()/string-length()
@@ -762,7 +785,73 @@ def _xp_subject_value(e: ET.Element, subj: str) -> str | None:
         return text_content(e)
     if subj.startswith("@"):
         return e.get(subj[1:])
+    mf = _XP_STRFN_CALL.fullmatch(subj)
+    if mf:
+        return _xp_strfn_value(e, mf.group(1), mf.group(2))
     return next((text_content(c) for c in e if c.tag == subj), None)
+
+
+_XP_STRFN_CALL = re.compile(
+    r"(substring-before|substring-after|substring|translate)\((.*)\)$", re.S
+)
+
+
+def _xp_strfn_value(e: ET.Element, fn: str, argstr: str) -> str | None:
+    """Evaluate a string-function subject for one element. First args may
+    be any subject or a quoted literal; substring()'s numeric args must be
+    literals (XPath rounds them: floor(x+0.5)); translate()'s from/to args
+    follow first-mapping-wins, unmapped-surplus-deleted semantics. An
+    absent base subject (e.g. a missing attribute) propagates None so the
+    enclosing comparison is false, matching this module's @attr handling."""
+    args = _split_top_level(argstr, ",")
+
+    def sval(a: str) -> str | None:
+        m = re.fullmatch(r"(['\"])(.*)\1", a, re.S)
+        return m.group(2) if m else _xp_subject_value(e, a)
+
+    if not args or args[0] == "":
+        raise ValueError(f"{fn}() needs arguments in XPath predicate")
+    base = sval(args[0])
+    if base is None:
+        return None
+    if fn == "substring":
+        if len(args) not in (2, 3):
+            raise ValueError(f"substring() takes 2-3 args, got {len(args)}")
+        try:
+            nums = [math.floor(float(a) + 0.5) for a in args[1:]]
+        except ValueError:
+            raise ValueError(
+                f"substring() position args must be numeric literals: {args[1:]}"
+            ) from None
+        lo = max(1, nums[0])
+        hi = nums[0] + nums[1] if len(nums) == 2 else len(base) + 1
+        return base[lo - 1:max(lo - 1, hi - 1)]
+    if fn in ("substring-before", "substring-after"):
+        if len(args) != 2:
+            raise ValueError(f"{fn}() takes 2 args, got {len(args)}")
+        sep = sval(args[1]) or ""
+        if not sep:
+            return ""
+        pre, found, rest = base.partition(sep)
+        if not found:
+            return ""
+        return pre if fn == "substring-before" else rest
+    # translate(base, from, to)
+    if len(args) != 3:
+        raise ValueError(f"translate() takes 3 args, got {len(args)}")
+    frm, to = sval(args[1]) or "", sval(args[2]) or ""
+    table: dict[str, str | None] = {}
+    for i, ch in enumerate(frm):
+        if ch not in table:
+            table[ch] = to[i] if i < len(to) else None
+    out = []
+    for ch in base:
+        if ch in table:
+            if table[ch] is not None:
+                out.append(table[ch])
+        else:
+            out.append(ch)
+    return "".join(out)
 
 
 def _xp_elem_test(body: str, path: str):
@@ -799,6 +888,7 @@ def _xp_elem_test(body: str, path: str):
         if (
             subj in ("text()", ".") or subj.startswith("@")
             or subj.startswith("normalize-space")
+            or _XP_STRFN_CALL.fullmatch(subj)
         ):
             return lambda e: _xp_subject_value(e, subj) == lit
         # [tag='v'] — ElementPath's child-equality form: ANY child matches
@@ -811,6 +901,7 @@ def _xp_elem_test(body: str, path: str):
         if (
             subj in ("text()", ".") or subj.startswith("@")
             or subj.startswith("normalize-space")
+            or _XP_STRFN_CALL.fullmatch(subj)
         ):
             # empty node-set (absent attr/text) compares false, per XPath
             return lambda e: (
@@ -850,6 +941,14 @@ def _xp_numeric_values(subj: str, path: str):
     list[float]: count(child-test) and string-length(subject) plus every
     string subject via number(); child-tag subjects yield one value per
     matching child (XPath node-set comparison: ANY node may satisfy)."""
+    mm = re.fullmatch(r"(.*?)\s+mod\s+(-?\d+(?:\.\d+)?)", subj)
+    if mm:
+        inner = _xp_numeric_values(mm.group(1).strip(), path)
+        d = float(mm.group(2))
+        if d == 0:
+            return lambda e: []  # x mod 0 is NaN — comparisons false
+        # XPath mod keeps the dividend's sign, i.e. C fmod, not Python %
+        return lambda e: [math.fmod(v, d) for v in inner(e)]
     mc = re.fullmatch(r"count\(\s*(\*|[\w:-]+)\s*\)", subj)
     if mc:
         tag = mc.group(1)
@@ -862,9 +961,12 @@ def _xp_numeric_values(subj: str, path: str):
             else [float(len(v))]
         )
     if (
-        subj in ("text()", ".") or subj.startswith("@")
+        subj in ("text()", ".") or re.fullmatch(r"@[\w:-]+", subj)
         or subj.startswith("normalize-space")
+        or _XP_STRFN_CALL.fullmatch(subj)
     ):
+        # '@x' must match EXACTLY — '@x + 1' (arithmetic) falls through to
+        # the loud reject below instead of silently probing attr 'x + 1'
         return lambda e: (
             [n] if (n := _xp_num(_xp_subject_value(e, subj))) is not None
             else []
@@ -893,13 +995,17 @@ def _xpath_apply_preds(
         ml = _XP_LAST_MINUS.match(body)
         if mp or ml or body == "last()" or re.fullmatch(r"\d+", body):
             if mp:
-                op, k = mp.group(1), int(mp.group(2))
+                mod_n = int(mp.group(1)) if mp.group(1) else 0
+                op, k = mp.group(2), int(mp.group(3))
                 cmp = {
                     "=": lambda i: i == k, "!=": lambda i: i != k,
                     "<": lambda i: i < k, "<=": lambda i: i <= k,
                     ">": lambda i: i > k, ">=": lambda i: i >= k,
                 }[op]
-                cand = [e for i, e in enumerate(cand, 1) if cmp(i)]
+                # [position() mod N OP K] — odd/even-style selection;
+                # positions are 1-based so Python % matches XPath mod here
+                pos = (lambda i: i % mod_n) if mod_n else (lambda i: i)
+                cand = [e for i, e in enumerate(cand, 1) if cmp(pos(i))]
             elif ml:
                 i = len(cand) - 1 - int(ml.group(1))
                 cand = [cand[i]] if i >= 0 else []

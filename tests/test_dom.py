@@ -622,7 +622,9 @@ def test_xpath_unsupported_rejected_loudly():
 
     tree = dom.parse_xml("<r><a/><b/></r>")
     for bad in ("//a/namespace::x", "//a[substring(@href, 1)]",
-                "//a[position() mod 2]",
+                "//a[position() mod 2]",  # bare truthiness, no comparison
+                "//a[concat(@x, 'y') = 'zy']",  # concat() unimplemented
+                "//a[@n + 1 = 2]",  # arithmetic beyond mod stays rejected
                 "//a/attribute::href/parent::a"):
         with pytest.raises(ValueError):
             dom.xpath_select(tree, bad)
@@ -874,3 +876,63 @@ def test_xpath_numeric_comparisons_count_stringlength():
         dom.xpath_select(tree, "//prod[count(a/b) > 1]")
     with pytest.raises(ValueError):
         dom.xpath_select(tree, "//prod[last() > 2]")
+
+
+def test_xpath_string_functions_and_mod():
+    """XPath 1.0 substring()/translate()/substring-before/-after as
+    predicate subjects, and mod on position() or any numeric subject
+    (reference xmlquery is full XPath 1.0, xmlelement.go:26-42)."""
+    import pytest
+
+    tree = dom.parse_xml(
+        "<links>"
+        '<a href="https://example.com/docs/intro" n="4">Intro</a>'
+        '<a href="http://example.org/blog/post" n="7">Post</a>'
+        '<a href="https://other.net/docs/ref" n="10">Ref</a>'
+        "<a>NoHref</a>"
+        "</links>"
+    )
+    texts = lambda p: [dom.text_content(e) for e in dom.xpath_select(tree, p)]
+
+    # substring(): XPath 1-based positions, optional length, rounding
+    assert texts("//a[substring(@href, 1, 5) = 'https']") == ["Intro", "Ref"]
+    assert texts("//a[substring(@href, 5, 1) != 's']") == ["Post"]
+    # start beyond the string -> empty; absent attr -> comparison false
+    assert texts("//a[substring(@href, 200) = '']") == ["Intro", "Post", "Ref"]
+    # fractional positions round (floor(x+0.5)) per the spec:
+    # substring(x, 2, 3) — chars 2-4 are 'ttp' for http and https alike
+    assert texts("//a[substring(@href, 1.7, 3.2) = 'ttp']") == [
+        "Intro", "Post", "Ref"]
+
+    # substring-before / substring-after
+    assert texts("//a[substring-before(@href, ':') = 'http']") == ["Post"]
+    assert texts(
+        "//a[starts-with(substring-after(@href, '//'), 'example')]"
+    ) == ["Intro", "Post"]
+    # separator absent from the string -> '' (not the whole string)
+    assert texts("//a[substring-after(@href, '#') = '']") == [
+        "Intro", "Post", "Ref"]
+
+    # translate(): mapping, surplus-from chars delete, first mapping wins
+    assert texts(
+        "//a[translate(substring(@href, 1, 5), 'https', 'HTTPS') = 'HTTPS']"
+    ) == ["Intro", "Ref"]
+    assert texts("//a[translate(@href, ':/', '') = "
+                 "'httpsexample.comdocsintro']") == ["Intro"]
+
+    # string functions compose with numeric comparisons
+    assert texts("//a[string-length(substring-after(@href, '//')) > 21]") == [
+        "Intro"]
+
+    # position() mod N OP K — odd/even selection along the step
+    assert texts("//a[position() mod 2 = 1]") == ["Intro", "Ref"]
+    assert texts("//a[position() mod 2 = 0]") == ["Post", "NoHref"]
+    # mod on a numeric subject; XPath mod keeps the dividend's sign
+    assert texts("//a[@n mod 3 = 1]") == ["Intro", "Post", "Ref"]
+    assert texts("//a[@n mod 4 = 2]") == ["Ref"]  # 4%4=0, 7%4=3, 10%4=2
+
+    # loud rejects: non-literal substring positions, bad arity
+    with pytest.raises(ValueError):
+        dom.xpath_select(tree, "//a[substring(@href, @n) = 'x']")
+    with pytest.raises(ValueError):
+        dom.xpath_select(tree, "//a[translate(@href, 'x') = 'y']")
