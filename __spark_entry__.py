@@ -347,6 +347,28 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_jaccard_pairs(d).orderBy("a", "b")
 
 
+def q_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive near-dup cluster assignment over every document: exact
+    n-gram Jaccard pairs (the fully relational generator) -> alternating
+    large-star/small-star connected components (dedup.neardup_clusters) ->
+    (doc_id, cluster_id = component-min doc_id, cluster_size); docs in no
+    pair are singletons. This is the step after any pair generator that a
+    "keep one per cluster" dedup policy needs, and it collapses a~b~c
+    chains the generator never compared end-to-end. Oracle: DuckDB
+    recomputes the identical pairs relationally and resolves components
+    with a recursive min-label-reachability CTE."""
+    from colly_spark.functions.dedup import neardup_clusters, ngram_jaccard_pairs
+
+    d = _read(spark, sf, "documents")
+    cl = neardup_clusters(ngram_jaccard_pairs(d), docs=d)
+    sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cl.join(sizes, "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash signatures (pure-JVM bit kernel). Oracle: golden parquet from
     the independent pure-Python implementation (tools/make_golden.py)."""
@@ -551,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf": q_ann_ivf,
         "q_embedding_neardup": q_embedding_neardup,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_neardup_clusters": q_neardup_clusters,
         "q_minhash_neardup": q_minhash_neardup,
         "q_simhash": q_simhash,
         "q_simhash_neardup": q_simhash_neardup,
@@ -828,6 +851,57 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = b
             WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.6
             ORDER BY a, b
+        """,
+        # near-dup clusters: the same relational pair derivation, then
+        # connected components via a recursive min-label-reachability CTE
+        # (cc enumerates every (node, smaller-reachable-id); min per node
+        # is the component minimum — an independent algorithm from Spark's
+        # large-star/small-star, same fixpoint)
+        "q_neardup_clusters": """
+            WITH RECURSIVE w AS (
+                SELECT doc_id,
+                       string_split(regexp_replace(lower(trim(text)),
+                                                   '\\s+', ' ', 'g'), ' ') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+                            ELSE array_to_string(w[i+1:i+3], ' ') END AS shingle
+                FROM w, UNNEST(range(0, greatest(len(w) - 3, 0) + 1)) AS t(i)
+            ), keep AS (
+                SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64
+            ), sh2 AS (
+                SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id
+            ), inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+                FROM sh2 x JOIN sh2 y
+                  ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ), prs AS (
+                SELECT a, b FROM inter
+                JOIN sizes sa ON sa.doc_id = a
+                JOIN sizes sb ON sb.doc_id = b
+                WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.6
+            ), edges AS (
+                SELECT a AS u, b AS v FROM prs UNION SELECT b, a FROM prs
+            ), cc(node, label) AS (
+                SELECT u, u FROM edges
+              UNION
+                SELECT e.u, c.label FROM edges e JOIN cc c ON c.node = e.v
+                WHERE c.label < e.u
+            ), lab AS (
+                SELECT node, min(label) AS label FROM cc GROUP BY node
+            ), assign AS (
+                SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+            )
+            SELECT a1.doc_id, a1.cluster_id, s.cluster_size
+            FROM assign a1
+            JOIN (SELECT cluster_id, count(*) AS cluster_size
+                  FROM assign GROUP BY cluster_id) s USING (cluster_id)
+            ORDER BY doc_id
         """,
         # q_video_features / q_audio_features: binary codecs, not
         # SQL-expressible — the oracle is a golden parquet whose rows are

@@ -448,3 +448,128 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.97,
         .where(F.col("cosine") >= threshold)
         .dropDuplicates(["a", "b"])
     )
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 64,
+) -> DataFrame:
+    """Connected-component cluster ids over a near-dup pair list:
+    ``(doc_id, cluster_id)`` where cluster_id is the SMALLEST doc id in the
+    component. The step a dedup pipeline needs after any pair generator
+    (minhash_lsh_pairs / ngram_jaccard_pairs / simhash_neardup_pairs /
+    embedding_neardup_pairs): "keep one doc per cluster" is a groupBy over
+    this output, and transitive duplicates (a~b, b~c => a,b,c together)
+    collapse even when the pair generator never compared a to c.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    MapReduce-native formulation that converges in O(log^2 n) rounds worst
+    case (O(log n) on real graphs) with every round a pair of node-keyed
+    shuffles. No component ever has to fit in one task and there is no
+    driver-side union-find, so a billion-edge pair list from a 100-TB
+    near-dup sweep runs the same plan shape as the sf0.01 test set.
+    Per round:
+
+      large-star: for each node u over its full neighborhood G(u)
+        (both edge directions), m = min(G(u) + {u}); emit (v, m) for
+        v in G(u), v > u. High-degree nodes rewire their big neighborhoods
+        directly to the minimum — this is what kills long chains in
+        logarithmic rounds.
+      small-star: edges kept canonical (hi, lo); for each hi node u,
+        m = min(G_lo(u)); emit (v, m) for v in G_lo(u) + {u}, v != m.
+
+    Both steps are min-agg + same-key join (the groupBy exchange is reused
+    by the join), then dropDuplicates. Each alternation eagerly
+    localCheckpoints — an iterative algorithm's lineage otherwise doubles
+    per round — and convergence is a STRUCTURAL test, not a heuristic
+    hash: stop when the edge set is a star forest (every node carries
+    exactly one label and no label is itself relabeled). A canonical
+    (hi, lo) star forest provably has the component minimum at every
+    center — each center is smaller than all its members by canonicality —
+    and both operations preserve connected components, so stopping there
+    is exact; a hypothetical oscillation that never forms a star forest
+    hits max_iter and raises instead of returning silently wrong labels.
+
+    With ``docs`` given, every document appears in the output and docs in
+    no pair form singleton clusters (cluster_id = doc_id). The result is
+    deterministic: a pure function of the pair set, independent of
+    partition layout (colly has no equivalent; this is pipeline surface
+    beyond the reference, like the rest of this module).
+    """
+    spark = pairs.sparkSession
+    # canonical (hi, lo) long edges; self-pairs and nulls are degenerate
+    e = (
+        pairs.select(
+            F.greatest(F.col("a"), F.col("b")).cast("long").alias("u"),
+            F.least(F.col("a"), F.col("b")).cast("long").alias("v"),
+        )
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        bidir = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = bidir.groupBy("u").agg(F.min("v").alias("mv"))
+        m = F.least(F.col("u"), F.col("mv"))
+        return (
+            bidir.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .dropDuplicates(["u", "v"])
+        )
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        # edges are canonical hi->lo, so every neighbor v of hub u is < u
+        # and m = min(neighbors) needs no least(u, .)
+        mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+        rewired = (
+            edges.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .dropDuplicates(["u", "v"])
+        )
+        return rewired
+
+    for _ in range(max_iter):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        # both violation kinds probed in ONE action (they read the same
+        # checkpointed frame; two isEmpty calls would double the per-round
+        # driver barriers of the convergence test)
+        multi_label = (
+            e.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where("c > 1")
+            .select(F.lit(1).alias("viol"))
+        )
+        chained = e.join(
+            e.select(F.col("v").alias("u")).dropDuplicates(), "u", "leftsemi"
+        ).select(F.lit(1).alias("viol"))
+        if multi_label.unionByName(chained).isEmpty():
+            break
+    else:
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iter} alternations"
+        )
+
+    members = e.select(F.col("u").alias(id_col), F.col("v").alias("cluster_id"))
+    centers = e.select(F.col("v").alias(id_col)).dropDuplicates().withColumn(
+        "cluster_id", F.col(id_col)
+    )
+    labeled = members.unionByName(centers)
+    if docs is None:
+        return labeled
+    return (
+        docs.select(F.col(id_col).cast("long").alias(id_col))
+        .join(labeled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
