@@ -630,11 +630,15 @@ _XP_SUBJECT = (
     r"|" + _XP_STRFN + r")"
 )
 _XP_FUNC_PRED = re.compile(
+    # the literal may not contain its own quote kind ((?!\3). tempered dot)
+    # — '.*?' would let [contains(., "a") or contains(., "b")] swallow the
+    # ' or ' into one bogus needle instead of reaching the expression
+    # fallback
     r"^(contains|starts-with)"
-    r"\(" + _XP_SUBJECT + r"\s*,\s*(['\"])(.*?)\3\)$"
+    r"\(" + _XP_SUBJECT + r"\s*,\s*(['\"])((?:(?!\3).)*)\3\)$"
 )
 _XP_TEXT_EQ_PRED = re.compile(
-    r"^" + _XP_SUBJECT + r"\s*=\s*(['\"])(.*?)\2$"
+    r"^" + _XP_SUBJECT + r"\s*=\s*(['\"])((?:(?!\2).)*)\2$"
 )
 _XP_AXIS_STEP = re.compile(
     r"^(following-sibling|preceding-sibling|following|preceding|parent"
@@ -651,6 +655,11 @@ _XP_STEPWISE_TOKENS = (
     "contains(", "starts-with(", "not(", "position()", "normalize-space(",
     "count(", "string-length(", "!=", "substring(", "translate(",
     "substring-before(", "substring-after(",
+    # expression-fallback forms (boolean/arithmetic/general functions);
+    # ' or '/' and '/' div ' need surrounding whitespace as XPath names
+    # can't contain spaces — a quoted literal containing them routes to
+    # the stepwise evaluator harmlessly (it evaluates those forms too)
+    " or ", " and ", " div ", "concat(", "boolean(", "number(", "string(",
 )
 # XPath 1.0 number comparison: SUBJECT OP NUMBER with an UNQUOTED numeric
 # right side; subjects additionally allow count()/string-length()
@@ -895,7 +904,7 @@ def _xp_elem_test(body: str, path: str):
         return lambda e: any(
             c.tag == subj and text_content(c) == lit for c in e
         )
-    mq = re.fullmatch(_XP_SUBJECT + r"\s*!=\s*(['\"])(.*?)\2", body)
+    mq = re.fullmatch(_XP_SUBJECT + r"\s*!=\s*(['\"])((?:(?!\2).)*)\2", body)
     if mq:
         subj, lit = mq.group(1), mq.group(3)
         if (
@@ -971,6 +980,9 @@ def _xp_numeric_values(subj: str, path: str):
             [n] if (n := _xp_num(_xp_subject_value(e, subj))) is not None
             else []
         )
+    if re.fullmatch(r"-?\d+(?:\.\d+)?", subj):
+        # a number literal is its own value, not a child-tag probe
+        return lambda e, f=float(subj): [f]
     if re.fullmatch(r"[\w:-]+", subj):
         return lambda e: [
             n for c in e if c.tag == subj
@@ -979,6 +991,384 @@ def _xp_numeric_values(subj: str, path: str):
     raise ValueError(
         f"unsupported numeric-comparison subject {subj!r} in XPath {path!r}"
     )
+
+
+# ---- general XPath 1.0 predicate-expression fallback ----------------------
+# The regex special forms above pin the overwhelmingly common predicate
+# shapes; bodies they reject — boolean and/or, arithmetic, computed-vs-
+# computed comparisons like [position() < last()], concat(), nested function
+# calls — fall back to this recursive-descent evaluator of XPath 1.0 §3
+# expressions (OrExpr on down; value operands only — location-path operands
+# beyond @attr / child-tag / text() / '.' stay loud rejects, as does any
+# body neither layer can parse). xmlquery, the reference's XPath engine
+# (/root/reference/xmlelement.go:26-42), evaluates all of XPath 1.0.
+
+_XP_EXPR_NAME = r"[A-Za-z_]\w*(?:[-:][A-Za-z_]\w*)*"
+_XP_EXPR_TOK = re.compile(
+    r"\s*(?:(?P<num>\d+(?:\.\d+)?|\.\d+)"
+    r"|(?P<str>'[^']*'|\"[^\"]*\")"
+    r"|(?P<at>@" + _XP_EXPR_NAME + r")"
+    r"|(?P<name>" + _XP_EXPR_NAME + r")"
+    r"|(?P<op>!=|<=|>=|[=<>+\-*(),.]))"
+)
+
+
+def _xp_truthy(v) -> bool:
+    """XPath boolean() of an evaluator value (node-set = non-empty,
+    number = non-zero non-NaN, string = non-empty)."""
+    if isinstance(v, list):
+        return bool(v)
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        return v == v and v != 0.0
+    return bool(v)
+
+
+def _xp_tonum(v) -> float:
+    """XPath number(): node-set via string-value of the first node;
+    unparseable strings are NaN (so comparisons with them are false,
+    except != which is true, per IEEE — the spec's rule)."""
+    if isinstance(v, list):
+        v = v[0] if v else ""
+    if isinstance(v, bool):
+        return 1.0 if v else 0.0
+    if isinstance(v, float):
+        return v
+    n = _xp_num(v)
+    return float("nan") if n is None else n
+
+
+def _xp_tostr(v) -> str:
+    """XPath string(): first node of a node-set ('' when empty); integral
+    numbers print without a decimal point."""
+    if isinstance(v, list):
+        return v[0] if v else ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    return v
+
+
+def _xp_cmp(a, b, op: str) -> bool:
+    """XPath 1.0 §3.4 comparison: node-sets compare existentially; =/!=
+    pick bool > number > string by operand type; relational ops always
+    compare as numbers."""
+    ns_a, ns_b = isinstance(a, list), isinstance(b, list)
+    if op in ("=", "!="):
+        if ns_a and ns_b:
+            return any(_xp_cmp(x, y, op) for x in a for y in b)
+        if ns_a or ns_b:
+            ns, other = (a, b) if ns_a else (b, a)
+            if isinstance(other, bool):
+                got = _xp_truthy(ns)
+                return got == other if op == "=" else got != other
+            if isinstance(other, float):
+                return any(
+                    _xp_cmp(_xp_tonum(x), other, op) for x in ns
+                )
+            return any(
+                (x == other) if op == "=" else (x != other) for x in ns
+            )
+        if isinstance(a, bool) or isinstance(b, bool):
+            x, y = _xp_truthy(a), _xp_truthy(b)
+        elif isinstance(a, float) or isinstance(b, float):
+            x, y = _xp_tonum(a), _xp_tonum(b)
+        else:
+            x, y = a, b
+        return x == y if op == "=" else x != y
+    f = _XP_NUM_OPS[op]
+    av = [_xp_tonum(x) for x in a] if ns_a else [_xp_tonum(a)]
+    bv = [_xp_tonum(x) for x in b] if ns_b else [_xp_tonum(b)]
+    return any(f(x, y) for x in av for y in bv)
+
+
+class _XpExprParser:
+    """Recursive-descent compiler for a predicate body. Every parse method
+    returns ``callable(ctx) -> value`` where ctx = (element, position,
+    size) — position/size are this predicate's per-context XPath values,
+    supplied by :func:`_xpath_apply_preds`."""
+
+    def __init__(self, body: str, path: str):
+        self.src, self.path = body, path
+        self.toks: list[tuple[str, str]] = []
+        i, n = 0, len(body)
+        while i < n:
+            m = _XP_EXPR_TOK.match(body, i)
+            if not m:
+                if body[i:].strip() == "":
+                    break
+                self.fail()
+            i = m.end()
+            for kind in ("num", "str", "at", "name", "op"):
+                v = m.group(kind)
+                if v is not None:
+                    self.toks.append((kind, v))
+                    break
+        self.i = 0
+
+    def fail(self):
+        raise ValueError(
+            f"unsupported predicate [{self.src}] in XPath {self.path!r}"
+        )
+
+    def peek(self) -> tuple[str | None, str | None]:
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def take(self) -> tuple[str | None, str | None]:
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, op: str) -> None:
+        if self.take() != ("op", op):
+            self.fail()
+
+    def compile(self):
+        prog = self.or_()
+        if self.i != len(self.toks):
+            self.fail()
+        return prog
+
+    def _chain(self, sub, seps: tuple[str, ...], kind: str):
+        node = sub()
+        while self.peek()[0] == kind and self.peek()[1] in seps:
+            _, op = self.take()
+            rhs = sub()
+            node = self._binop(node, op, rhs)
+        return node
+
+    @staticmethod
+    def _binop(l, op, r):
+        if op == "or":
+            return lambda c: _xp_truthy(l(c)) or _xp_truthy(r(c))
+        if op == "and":
+            return lambda c: _xp_truthy(l(c)) and _xp_truthy(r(c))
+        if op in _XP_NUM_OPS:
+            return lambda c: _xp_cmp(l(c), r(c), op)
+        if op == "+":
+            return lambda c: _xp_tonum(l(c)) + _xp_tonum(r(c))
+        if op == "-":
+            return lambda c: _xp_tonum(l(c)) - _xp_tonum(r(c))
+        if op == "*":
+            return lambda c: _xp_tonum(l(c)) * _xp_tonum(r(c))
+        if op == "div":  # IEEE: x div 0 is ±Infinity, 0 div 0 NaN
+            def fdiv(c):
+                x, y = _xp_tonum(l(c)), _xp_tonum(r(c))
+                if y == 0:
+                    return float("nan") if x == 0 or x != x else math.copysign(
+                        float("inf"), x) * math.copysign(1.0, y)
+                return x / y
+            return fdiv
+        # mod: keeps the dividend's sign (C fmod), x mod 0 is NaN
+        def fmod(c):
+            x, y = _xp_tonum(l(c)), _xp_tonum(r(c))
+            return float("nan") if y == 0 else math.fmod(x, y)
+        return fmod
+
+    def or_(self):
+        return self._chain(self.and_, ("or",), "name")
+
+    def and_(self):
+        return self._chain(self.eq_, ("and",), "name")
+
+    def eq_(self):
+        return self._chain(self.rel_, ("=", "!="), "op")
+
+    def rel_(self):
+        return self._chain(self.add_, ("<", "<=", ">", ">="), "op")
+
+    def add_(self):
+        return self._chain(self.mul_, ("+", "-"), "op")
+
+    def mul_(self):
+        node = self.unary_()
+        while (self.peek() == ("op", "*")
+               or (self.peek()[0] == "name" and self.peek()[1] in ("div", "mod"))):
+            _, op = self.take()
+            node = self._binop(node, op, self.unary_())
+        return node
+
+    def unary_(self):
+        if self.peek() == ("op", "-"):
+            self.take()
+            inner = self.unary_()
+            return lambda c: -_xp_tonum(inner(c))
+        return self.primary_()
+
+    def primary_(self):
+        k, v = self.peek()
+        if k == "op" and v == "(":
+            self.take()
+            e = self.or_()
+            self.expect(")")
+            return e
+        if k == "num":
+            self.take()
+            return lambda c, f=float(v): f
+        if k == "str":
+            self.take()
+            return lambda c, s=v[1:-1]: s
+        if k == "at":
+            self.take()
+            name = v[1:]
+            return lambda c: (
+                [a] if (a := c[0].get(name)) is not None else []
+            )
+        if k == "op" and v == ".":
+            self.take()
+            return lambda c: text_content(c[0])
+        if k == "op" and v == "*":
+            # '*' at a value position: the all-children node-set (count(*))
+            self.take()
+            return lambda c: [text_content(ch) for ch in c[0]]
+        if k == "name":
+            self.take()
+            if self.peek() == ("op", "("):
+                self.take()
+                args = []
+                if self.peek() != ("op", ")"):
+                    args.append(self.or_())
+                    while self.peek() == ("op", ","):
+                        self.take()
+                        args.append(self.or_())
+                self.expect(")")
+                return self.fn_(v, args)
+            return lambda c, t=v: [
+                text_content(ch) for ch in c[0] if ch.tag == t
+            ]
+        self.fail()
+
+    def fn_(self, name: str, args: list):
+        na = len(args)
+
+        def need(lo: int, hi: int | None = None):
+            if not lo <= na <= (lo if hi is None else hi):
+                self.fail()
+
+        if name == "position":
+            need(0)
+            return lambda c: float(c[1])
+        if name == "last":
+            need(0)
+            return lambda c: float(c[2])
+        if name == "text":
+            need(0)
+            return lambda c: [t] if (t := _direct_text(c[0])) else []
+        if name == "name":
+            need(0)
+            return lambda c: c[0].tag
+        if name == "count":
+            need(1)
+            a = args[0]
+
+            def count(c):
+                v = a(c)
+                if not isinstance(v, list):
+                    self.fail()
+                return float(len(v))
+            return count
+        if name == "not":
+            need(1)
+            a = args[0]
+            return lambda c: not _xp_truthy(a(c))
+        if name == "true":
+            need(0)
+            return lambda c: True
+        if name == "false":
+            need(0)
+            return lambda c: False
+        if name == "boolean":
+            need(1)
+            a = args[0]
+            return lambda c: _xp_truthy(a(c))
+        if name == "number":
+            need(0, 1)
+            a = args[0] if args else (lambda c: text_content(c[0]))
+            return lambda c: _xp_tonum(a(c))
+        if name == "string":
+            need(0, 1)
+            a = args[0] if args else (lambda c: text_content(c[0]))
+            return lambda c: _xp_tostr(a(c))
+        if name == "concat":
+            need(2, 99)
+            return lambda c: "".join(_xp_tostr(a(c)) for a in args)
+        if name in ("contains", "starts-with"):
+            need(2)
+            a, b = args
+            if name == "contains":
+                return lambda c: _xp_tostr(b(c)) in _xp_tostr(a(c))
+            return lambda c: _xp_tostr(a(c)).startswith(_xp_tostr(b(c)))
+        if name == "normalize-space":
+            need(0, 1)
+            a = args[0] if args else (lambda c: text_content(c[0]))
+            return lambda c: _xp_norm_space(_xp_tostr(a(c)))
+        if name == "string-length":
+            need(0, 1)
+            a = args[0] if args else (lambda c: text_content(c[0]))
+            return lambda c: float(len(_xp_tostr(a(c))))
+        if name == "substring":
+            need(2, 3)
+            b, st = args[0], args[1]
+            ln = args[2] if na == 3 else None
+
+            def substr(c):
+                s = _xp_tostr(b(c))
+                p = _xp_tonum(st(c))
+                if p != p:  # NaN start selects nothing
+                    return ""
+                p = math.floor(max(-1e9, min(1e9, p)) + 0.5)
+                if ln is None:
+                    return s[max(1, p) - 1:]
+                k = _xp_tonum(ln(c))
+                if k != k:
+                    return ""
+                # clamp infinities before floor (floor(inf) overflows)
+                k = max(-1e9, min(1e9, k))
+                end = p + math.floor(k + 0.5)
+                lo = max(1, p)
+                return s[lo - 1:max(lo - 1, int(min(end, len(s) + 1)) - 1)]
+            return substr
+        if name in ("substring-before", "substring-after"):
+            need(2)
+            a, b = args
+            before = name == "substring-before"
+
+            def part(c):
+                base, sep = _xp_tostr(a(c)), _xp_tostr(b(c))
+                if not sep:
+                    return ""
+                pre, found, rest = base.partition(sep)
+                if not found:
+                    return ""
+                return pre if before else rest
+            return part
+        if name == "translate":
+            need(3)
+            a, b, d = args
+
+            def trans(c):
+                base, frm, to = _xp_tostr(a(c)), _xp_tostr(b(c)), _xp_tostr(d(c))
+                table: dict[str, str | None] = {}
+                for i, ch in enumerate(frm):
+                    if ch not in table:
+                        table[ch] = to[i] if i < len(to) else None
+                return "".join(
+                    (table[ch] if table[ch] is not None else "")
+                    if ch in table else ch
+                    for ch in base
+                )
+            return trans
+        self.fail()
+
+
+def _xp_expr_compile(body: str, path: str):
+    return _XpExprParser(body, path).compile()
 
 
 def _xpath_apply_preds(
@@ -1015,8 +1405,21 @@ def _xpath_apply_preds(
                 k = int(body)
                 cand = [cand[k - 1]] if len(cand) >= k else []
         else:
-            test = _xp_elem_test(body, path)
-            cand = [e for e in cand if test(e)]
+            try:
+                test = _xp_elem_test(body, path)
+            except ValueError:
+                # general XPath 1.0 expression fallback — and/or,
+                # arithmetic, computed comparisons, concat(), positional
+                # terms inside boolean structure (position()/last() get
+                # THIS predicate's per-context values)
+                prog = _xp_expr_compile(body, path)
+                size = len(cand)
+                cand = [
+                    e for i, e in enumerate(cand, 1)
+                    if _xp_truthy(prog((e, i, size)))
+                ]
+            else:
+                cand = [e for e in cand if test(e)]
     return cand
 
 

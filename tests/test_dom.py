@@ -621,13 +621,20 @@ def test_xpath_unsupported_rejected_loudly():
     import pytest
 
     tree = dom.parse_xml("<r><a/><b/></r>")
-    for bad in ("//a/namespace::x", "//a[substring(@href, 1)]",
-                "//a[position() mod 2]",  # bare truthiness, no comparison
-                "//a[concat(@x, 'y') = 'zy']",  # concat() unimplemented
-                "//a[@n + 1 = 2]",  # arithmetic beyond mod stays rejected
+    for bad in ("//a/namespace::x",
+                "//a[a/b = 'v']",  # location-path predicate operands
+                "//a[foo(1)]",  # unknown function
+                "//a[@n + ]",  # malformed expression
                 "//a/attribute::href/parent::a"):
         with pytest.raises(ValueError):
             dom.xpath_select(tree, bad)
+    # formerly-rejected forms the expression fallback now evaluates:
+    # bare numeric truthiness (non-zero matches), string truthiness of a
+    # substring over an absent attribute ('' is falsy), and arithmetic
+    assert [e.tag for e in dom.xpath_select(tree, "//a[position() mod 2]")] == ["a"]
+    assert dom.xpath_select(tree, "//a[substring(@href, 1)]") == []
+    assert dom.xpath_select(tree, "//a[concat(@x, 'y') = 'zy']") == []
+    assert dom.xpath_select(tree, "//a[@n + 1 = 2]") == []
 
 
 def test_xpath_starts_with_and_text_equality():
@@ -744,9 +751,10 @@ def test_xpath_function_predicates():
     assert txt("//list/item[last()-2]/a") == ["Beta   two"]
     assert txt("//item[2]/following-sibling::item[position()<=1]/a") == ["Gamma"]
 
-    # positional inside not() has no per-element meaning: loud reject
-    with pytest.raises(ValueError):
-        sel("//item[not(2)]")
+    # not() of a positional term: per XPath, not(2) = not(boolean(2)) =
+    # false everywhere (the expression fallback carries position context)
+    assert sel("//item[not(2)]") == []
+    assert txt("//item[not(position()=2) and position()<=2]/a") == ["Alpha"]
 
 
 def test_xpath_quoted_brackets_in_literals():
@@ -874,8 +882,10 @@ def test_xpath_numeric_comparisons_count_stringlength():
     # unsupported numeric subject stays a loud reject
     with pytest.raises(ValueError):
         dom.xpath_select(tree, "//prod[count(a/b) > 1]")
-    with pytest.raises(ValueError):
-        dom.xpath_select(tree, "//prod[last() > 2]")
+    # last() compares as this step's per-context size (4 prods: > 2 is
+    # position-independently true, = position() picks the final one)
+    assert names("//prod[last() > 2]") == ["Widget", "Gadget", "Gizmo", "Nameless"]
+    assert names("//prod[position() = last()]") == ["Nameless"]
 
 
 def test_xpath_string_functions_and_mod():
@@ -936,3 +946,56 @@ def test_xpath_string_functions_and_mod():
         dom.xpath_select(tree, "//a[substring(@href, @n) = 'x']")
     with pytest.raises(ValueError):
         dom.xpath_select(tree, "//a[translate(@href, 'x') = 'y']")
+
+
+def test_xpath_expression_fallback():
+    """General XPath 1.0 predicate expressions — boolean or/and, arithmetic
+    (+ - * div mod), computed-vs-computed comparisons, concat()/boolean()/
+    number()/string() — via the recursive-descent fallback that runs when
+    the pinned special forms reject a body (reference xmlquery evaluates
+    full XPath 1.0, xmlelement.go:26-42)."""
+    import pytest
+
+    tree = dom.parse_xml(
+        "<ul>"
+        "<li>a</li><li>b</li><li>c</li><li>d</li>"
+        '<s n="3">s</s>'
+        "</ul>"
+    )
+    txt = lambda p: [dom.text_content(e) for e in dom.xpath_select(tree, p)]
+
+    # boolean structure, with and binding tighter than or
+    assert txt("//li[position()=1 or position()=3]") == ["a", "c"]
+    assert txt("//li[text() = 'a' or text() = 'd']") == ["a", "d"]
+    assert txt("//li[contains(., 'a') or contains(., 'b')]") == ["a", "b"]
+    assert txt(
+        "//li[position()=4 or position()=1 and text()='x']") == ["d"]
+    # computed comparisons on both sides
+    assert txt("//li[position() < last()]") == ["a", "b", "c"]
+    assert txt("//li[position() = last() - 1]") == ["c"]
+    # arithmetic: + - * div mod, unary minus, attr coercion
+    assert txt("//li[position() + 1 = 2]") == ["a"]
+    assert txt("//s[@n * 2 = 6]") == ["s"]
+    assert txt("//li[8 div 4 = 2]") == ["a", "b", "c", "d"]
+    assert txt("//li[5 mod 2 = 1]") == ["a", "b", "c", "d"]
+    assert txt("//li[-1 + 2 = 1]") == ["a", "b", "c", "d"]
+    assert txt("//li[1 div 0 > 1000000]") == ["a", "b", "c", "d"]  # +Inf
+    assert txt("//li[0 div 0 = 0 div 0]") == []  # NaN = NaN is false
+    # string/boolean/number functions, nesting
+    assert txt("//li[concat(text(), 'x') = 'ax']") == ["a"]
+    assert txt("//s[boolean(@n)]") == ["s"]
+    assert txt("//li[boolean(@n)]") == []
+    assert txt("//li[string(position()) = '2']") == ["b"]
+    assert txt("//li[number('2') > 1 and position() <= 2]") == ["a", "b"]
+    assert txt("//li[normalize-space(concat(' ', text(), ' ')) = 'c']") == ["c"]
+    assert txt("//li[substring(text(),1,1) = 'b' or . = 'c']") == ["b", "c"]
+    # a quoted literal may contain the OTHER quote kind and ' or '
+    assert txt('//li[text() = "x or y" or text() = \'a\']') == ["a"]
+    # node-set existential comparison over an attribute
+    assert txt("//s[@n = 3]") == ["s"]
+    assert txt("//s[@n != 4]") == ["s"]
+    # parse failures stay loud
+    for bad in ("//li[position() ==1]", "//li[@a =]", "//li[foo(,)]",
+                "//li[concat(text())]"):  # concat needs >= 2 args
+        with pytest.raises(ValueError):
+            dom.xpath_select(tree, bad)
