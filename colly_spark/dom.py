@@ -660,6 +660,7 @@ _XP_STEPWISE_TOKENS = (
     # can't contain spaces — a quoted literal containing them routes to
     # the stepwise evaluator harmlessly (it evaluates those forms too)
     " or ", " and ", " div ", "concat(", "boolean(", "number(", "string(",
+    "true(", "false(", "name(",
 )
 # XPath 1.0 number comparison: SUBJECT OP NUMBER with an UNQUOTED numeric
 # right side; subjects additionally allow count()/string-length()
@@ -1540,6 +1541,34 @@ def _xpath_steps_eval(root: ET.Element, p: str) -> list[ET.Element]:
     return nodes
 
 
+def _xp_split_union(p: str) -> list[str]:
+    """Split an XPath on top-level '|' (outside predicates and string
+    literals). A single-operand path returns [p] unchanged."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    quote = ""
+    for ch in p:
+        if quote:
+            if ch == quote:
+                quote = ""
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+        elif ch == "|" and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+            continue
+        buf.append(ch)
+    parts.append("".join(buf).strip())
+    if any(not s for s in parts):
+        raise ValueError(f"empty union operand in XPath {p!r}")
+    return parts
+
+
 def xpath_select(root: ET.Element, xpath: str) -> list:
     """Evaluate colly-test-style XPath over the wrapped tree.
 
@@ -1561,6 +1590,30 @@ def xpath_select(root: ET.Element, xpath: str) -> list:
       (:func:`_xpath_steps_eval`).
     """
     p = xpath.strip()
+    # top-level union: evaluate each operand and merge (node-set union —
+    # element results dedup to document order; string results from
+    # text()/@attr tails concatenate in operand order). ElementPath would
+    # otherwise treat the whole '|' expression as one unmatchable path and
+    # silently return [] — the typo'd-selector-as-empty-page failure mode.
+    parts = _xp_split_union(p)
+    if len(parts) > 1:
+        rs = [xpath_select(root, part) for part in parts]
+        if all(isinstance(x, str) for r in rs for x in r):
+            return [x for r in rs for x in r]
+        doc_order = {id(e): i for i, e in enumerate(root.iter())}
+        seen: set[int] = set()
+        out = []
+        for r in rs:
+            for e in r:
+                if not isinstance(e, ET.Element):
+                    raise ValueError(
+                        f"mixed element/string union operands in XPath {p!r}"
+                    )
+                if id(e) not in seen:
+                    seen.add(id(e))
+                    out.append(e)
+        out.sort(key=lambda e: doc_order.get(id(e), 1 << 30))
+        return out
     # 'attribute::x' is the verbose spelling of '@x' — normalize up front
     # (final-step only, like '@x'; the attribute axis mid-path stays a
     # loud reject since attribute nodes have no element children)

@@ -999,3 +999,30 @@ def test_xpath_expression_fallback():
                 "//li[concat(text())]"):  # concat needs >= 2 args
         with pytest.raises(ValueError):
             dom.xpath_select(tree, bad)
+
+
+def test_xpath_union_operator():
+    """Top-level '|' union: node-set union in document order with identical
+    nodes deduped; text()/@attr tails concatenate per operand; mixed
+    element/string unions reject (xmlquery evaluates full XPath 1.0 unions,
+    xmlelement.go:26-42). Without this, ElementPath silently returned []."""
+    import pytest
+
+    tree = dom.parse_xml("<r><a>1</a><b>2</b><c>3</c><a>4</a></r>")
+    txt = lambda p: [e.text for e in dom.xpath_select(tree, p)]
+    assert txt("//a | //b") == ["1", "2", "4"]  # doc order, not operand order
+    assert txt("//b | //a") == ["1", "2", "4"]
+    assert txt("//a | //a") == ["1", "4"]  # same nodes dedup
+    assert txt("//a[text()='1'] | //c | //missing") == ["1", "3"]
+    html = dom.parse_html('<p><a href="/x">x</a><img src="/i.png"/></p>')
+    assert dom.xpath_select(html, "//a/@href | //img/@src") == ["/x", "/i.png"]
+    with pytest.raises(ValueError):
+        dom.xpath_select(html, "//a | //img/@src")  # mixed operand kinds
+    with pytest.raises(ValueError):
+        dom.xpath_select(tree, "//a | ")  # empty operand
+    # '|' inside a string literal is content, not a union separator
+    assert txt("//a[text() != 'x|y']") == ["1", "4"]
+    # boolean-literal predicates route through the expression fallback
+    assert txt("//a[true()]") == ["1", "4"]
+    assert txt("//a[false()]") == []
+    assert txt("//r[name() = 'r']/a") == ["1", "4"]
