@@ -1026,3 +1026,21 @@ def test_xpath_union_operator():
     assert txt("//a[true()]") == ["1", "4"]
     assert txt("//a[false()]") == []
     assert txt("//r[name() = 'r']/a") == ["1", "4"]
+
+
+def test_xpath_keyword_named_elements():
+    """Elements named 'or'/'and'/'div'/'mod' are operands when they appear
+    at a value position and operators only after a complete operand — the
+    XPath 1.0 lexical disambiguation rule."""
+    tree = dom.parse_xml(
+        '<r><a n="2">x</a><or>keep</or><div>d</div><mod>m</mod></r>'
+    )
+    txt = lambda p: [e.text for e in dom.xpath_select(tree, p)]
+    assert txt("//r[or = 'keep']/a") == ["x"]
+    assert txt("//r[div]/a") == ["x"]
+    assert txt("//r[count(div) + count(mod) = 2]/a") == ["x"]
+    assert txt("//a[@n div 2 = 1]") == ["x"]
+    assert txt("//a[@n mod 2 = 0]") == ["x"]
+    assert txt("//a[-(-(@n)) = 2]") == ["x"]
+    assert txt("//a[((1 + 2) * 2) = 6]") == ["x"]
+    assert txt("//r[count(a) < count(*)]/a") == ["x"]
