@@ -57,10 +57,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The flagship fixture entry() resolves at sf0.001 (500 docs -> 12 pages per
-# domain), pinned here so q_crawl_visits and its simulator-emitted golden
-# (tools/make_golden.py) agree on the exact web regardless of the sf the
-# driver passes.
-CRAWL_FIXTURE = dict(n_domains=3, pages_per_domain=12, seed=42)
+# domain), pinned in colly_spark.fixtures as the SHARED constants both
+# q_crawl_visits and its simulator-emitted golden (tools/make_golden.py)
+# build from, so the two sides cannot silently desync.
+from colly_spark.fixtures import (  # noqa: E402
+    CRAWL_GOLDEN_CFG,
+    CRAWL_GOLDEN_LIMITS,
+    CRAWL_GOLDEN_MAX_ROUNDS,
+    CRAWL_GOLDEN_SEEDS,
+    CRAWL_GOLDEN_SPEC,
+)
+
+CRAWL_FIXTURE = CRAWL_GOLDEN_SPEC
 
 
 def q_crawl_visits(spark: SparkSession, sf: str) -> DataFrame:
@@ -75,17 +83,15 @@ def q_crawl_visits(spark: SparkSession, sf: str) -> DataFrame:
     from colly_spark.engine import Crawler
     from colly_spark.fixtures import SiteSpec, build_site, make_seeds, site_to_spark
 
-    site = build_site(SiteSpec(**CRAWL_FIXTURE))
+    site = build_site(SiteSpec(**CRAWL_GOLDEN_SPEC))
     tabs = site_to_spark(spark, site)
     cfg = CrawlConfig(
-        max_depth=3,
-        ignore_robots_txt=False,
-        limit_rules=(LimitRule(domain_glob="*.test", delay_ms=50, parallelism=4),),
-        shuffle_partitions=8,
+        limit_rules=tuple(LimitRule(**d) for d in CRAWL_GOLDEN_LIMITS),
+        **CRAWL_GOLDEN_CFG,
     )
     crawler = Crawler(spark, cfg, tabs["pages"], tabs["images"], tabs["robots"])
     out = crawler.run(
-        make_seeds([f"http://d0{d}.test/page/0" for d in range(3)]), max_rounds=6
+        make_seeds(list(CRAWL_GOLDEN_SEEDS)), max_rounds=CRAWL_GOLDEN_MAX_ROUNDS
     )
     return out["visits"].select("fetch_seq", "url", "depth").orderBy("fetch_seq")
 

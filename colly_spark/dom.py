@@ -55,11 +55,17 @@ evaluates both selector languages over it:
   from, to)``, ``substring-before``/``substring-after`` compose as
   subjects of ``=``/``!=``/``contains``/``starts-with``/numeric
   comparisons, and ``mod`` works both as ``position() mod N OP K`` and on
-  any numeric subject (dividend-sign semantics). The remaining XPath 1.0
-  surface (attribute/namespace axes as mid-path steps, ``+``/``-``/``*``/
-  ``div`` arithmetic, ``concat()``, multi-step count() arguments) raises
-  ValueError (loud reject, documented divergence from xmlquery's full
-  XPath 1.0, /root/reference/xmlelement.go:26-42).
+  any numeric subject (dividend-sign semantics). Predicate bodies beyond
+  these pinned forms fall back to a recursive-descent evaluator of XPath
+  1.0 expressions — ``or``/``and``, ``+ - * div mod`` arithmetic with
+  IEEE semantics, comparisons between computed values (``[position() <
+  last()]``), ``concat()``/``boolean()``/``number()``/``string()``/
+  ``true()``/``false()``/``name()`` with nesting, node-sets comparing
+  existentially — and top-level ``|`` unions merge in document order.
+  The remaining XPath 1.0 surface (attribute/namespace axes as mid-path
+  steps, location-path predicate operands like ``[a/b = 'v']``,
+  variables) raises ValueError (loud reject, documented divergence from
+  xmlquery's full XPath 1.0, /root/reference/xmlelement.go:26-42).
 
 Everything here is pure Python over one in-memory tree per document; the
 Spark side calls it from an Arrow-batched pandas UDF (one parse per page,
@@ -68,6 +74,7 @@ SURVEY.md §2 P3), never per-row from the driver.
 
 from __future__ import annotations
 
+import functools
 import math
 import re
 import xml.etree.ElementTree as ET
@@ -1372,6 +1379,26 @@ def _xp_expr_compile(body: str, path: str):
     return _XpExprParser(body, path).compile()
 
 
+@functools.lru_cache(maxsize=512)
+def _xp_compile_body(body: str, path: str):
+    """Compile one predicate body once per (body, path): the pinned
+    element-test forms first, else the expression fallback. Cached because
+    ``//tag[pred]`` applies predicates once PER PARENT node — without the
+    cache a 10k-element page recompiles the same regexes and closures 10k
+    times inside the Arrow-batched parse hot path. Both compilers are pure
+    (closures over the body text only); the returned tag says whether the
+    program needs (element) or (element, position, size)."""
+    try:
+        return ("test", _xp_elem_test(body, path))
+    except ValueError:
+        return ("expr", _xp_expr_compile(body, path))
+
+
+@functools.lru_cache(maxsize=512)
+def _xp_pred_bodies_cached(preds_s: str, path: str) -> tuple[str, ...]:
+    return tuple(_xp_pred_bodies(preds_s, path))
+
+
 def _xpath_apply_preds(
     cand: list[ET.Element], preds_s: str, path: str
 ) -> list[ET.Element]:
@@ -1380,7 +1407,7 @@ def _xpath_apply_preds(
     positional ``[n]`` / ``[last()-k]`` / ``[position() OP k]`` is XPath's
     per-context position (and counts from the nearest sibling on the
     reverse ``preceding-sibling::`` axis)."""
-    for body in _xp_pred_bodies(preds_s, path):
+    for body in _xp_pred_bodies_cached(preds_s, path):
         body = body.strip()
         mp = _XP_POSITION_PRED.match(body)
         ml = _XP_LAST_MINUS.match(body)
@@ -1406,21 +1433,19 @@ def _xpath_apply_preds(
                 k = int(body)
                 cand = [cand[k - 1]] if len(cand) >= k else []
         else:
-            try:
-                test = _xp_elem_test(body, path)
-            except ValueError:
+            kind, prog = _xp_compile_body(body, path)
+            if kind == "test":
+                cand = [e for e in cand if prog(e)]
+            else:
                 # general XPath 1.0 expression fallback — and/or,
                 # arithmetic, computed comparisons, concat(), positional
                 # terms inside boolean structure (position()/last() get
                 # THIS predicate's per-context values)
-                prog = _xp_expr_compile(body, path)
                 size = len(cand)
                 cand = [
                     e for i, e in enumerate(cand, 1)
                     if _xp_truthy(prog((e, i, size)))
                 ]
-            else:
-                cand = [e for e in cand if test(e)]
     return cand
 
 
@@ -1541,6 +1566,27 @@ def _xpath_steps_eval(root: ET.Element, p: str) -> list[ET.Element]:
     return nodes
 
 
+def _xp_sub_outside_quotes(pattern: str, repl: str, p: str) -> str:
+    """re.sub applied only to the unquoted segments of an XPath (string
+    literals pass through verbatim)."""
+    rx = re.compile(pattern)
+    out: list[str] = []
+    start = 0
+    quote = ""
+    for i, ch in enumerate(p):
+        if quote:
+            if ch == quote:
+                out.append(p[start:i + 1])  # the quoted run, verbatim
+                start = i + 1
+                quote = ""
+        elif ch in "'\"":
+            out.append(rx.sub(repl, p[start:i]))
+            start = i
+            quote = ch
+    out.append(p[start:] if quote else rx.sub(repl, p[start:]))
+    return "".join(out)
+
+
 def _xp_split_union(p: str) -> list[str]:
     """Split an XPath on top-level '|' (outside predicates and string
     literals). A single-operand path returns [p] unchanged."""
@@ -1616,8 +1662,12 @@ def xpath_select(root: ET.Element, xpath: str) -> list:
         return out
     # 'attribute::x' is the verbose spelling of '@x' — normalize up front
     # (final-step only, like '@x'; the attribute axis mid-path stays a
-    # loud reject since attribute nodes have no element children)
-    p = re.sub(r"(?<=[/\[(])attribute::(?=[\w:-])", "@", p)
+    # loud reject since attribute nodes have no element children). Applied
+    # per unquoted segment: a string literal containing '/attribute::'
+    # is content and must not be rewritten.
+    p = _xp_sub_outside_quotes(
+        r"(?<=[/\[(])attribute::(?=[\w:-])", "@", p
+    )
     tail = None  # ('text',) | ('attr', name)
     if p.endswith("/text()"):
         tail = ("text",)

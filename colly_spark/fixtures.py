@@ -300,6 +300,25 @@ def build_site(
     return site
 
 
+# ---------------- pinned golden-crawl fixture ----------------
+# ONE definition consumed by BOTH __spark_entry__.q_crawl_visits (the
+# distributed engine side of the driver gate) and
+# tools/make_golden.write_crawl_golden (the serial simulator that emits
+# the oracle parquet): any tweak moves both sides together, so the golden
+# can never silently desync from the gate query. limit_rules are raw
+# kwargs (construct config.LimitRule(**d)) to keep this module free of a
+# config import.
+CRAWL_GOLDEN_SPEC = dict(n_domains=3, pages_per_domain=12, seed=42)
+CRAWL_GOLDEN_CFG = dict(
+    max_depth=3, ignore_robots_txt=False, shuffle_partitions=8
+)
+CRAWL_GOLDEN_LIMITS = (
+    dict(domain_glob="*.test", delay_ms=50, parallelism=4),
+)
+CRAWL_GOLDEN_SEEDS = tuple(f"http://d0{d}.test/page/0" for d in range(3))
+CRAWL_GOLDEN_MAX_ROUNDS = 6
+
+
 def make_seeds(urls: list[str], method: str = "GET",
                headers: dict | None = None) -> list[dict]:
     """Seed dicts; ``headers`` (optional) rides on every seed — the queue

@@ -499,6 +499,27 @@ def neardup_clusters(
     partition layout (colly has no equivalent; this is pipeline surface
     beyond the reference, like the rest of this module).
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    # ids must already be integral: cast('long') on a string key would
+    # silently turn every id into NULL (all edges dropped, docs-side ids
+    # nulled) — reject loudly instead; callers with string keys should
+    # join through a dense integer id first (e.g. xxhash64 is NOT enough:
+    # cluster_id = component-min must be stable and collision-free)
+    def _check_integral(df: DataFrame, col: str, what: str) -> None:
+        dt = df.schema[col].dataType
+        if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+            raise TypeError(
+                f"neardup_clusters requires an integral {what} column, got "
+                f"{col}: {dt.simpleString()}; map string keys to a dense "
+                f"integer id before clustering"
+            )
+
+    _check_integral(pairs, "a", "pair id")
+    _check_integral(pairs, "b", "pair id")
+    if docs is not None:
+        _check_integral(docs, id_col, id_col)
+
     spark = pairs.sparkSession
     # canonical (hi, lo) long edges; self-pairs and nulls are degenerate
     e = (

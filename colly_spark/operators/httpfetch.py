@@ -107,15 +107,26 @@ def _fetch_one(url, rewrite_to, timeout_s, max_body_size, user_agent):
         # timeout / refused / DNS — colly's err != nil: the engine sees the
         # same NULL page columns as a fixture-table left-join miss
         return _MISS
-    if hdrs.get("X-Fixture-Miss"):
-        return _MISS
-    delay = hdrs.get("X-Serve-Delay-Ms")
+    delay = None
+    if rewrite_to:
+        # fixture-protocol headers are only meaningful from the loopback
+        # fixture server; a real origin emitting a header that happens to
+        # be named X-Fixture-Miss must not silently drop its page, and a
+        # malformed X-Serve-Delay-Ms must not crash the task
+        if hdrs.get("X-Fixture-Miss"):
+            return _MISS
+        raw_delay = hdrs.get("X-Serve-Delay-Ms")
+        if raw_delay is not None:
+            try:
+                delay = int(raw_delay)
+            except ValueError:
+                delay = None
     return (
         int(code),
         hdrs.get("Content-Type"),
         body,
-        hdrs.get("X-Base-Href"),
-        int(delay) if delay is not None else None,
+        hdrs.get("X-Base-Href") if rewrite_to else None,
+        delay,
     )
 
 

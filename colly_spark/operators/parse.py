@@ -138,27 +138,49 @@ def maybe_gunzip(body: bytes, content_type: str | None, path: str) -> bytes:
 _CHARSET_RE = re.compile(r"charset=[\"']?([\w.\-]+)", re.IGNORECASE)
 
 
-_META_CHARSET_RE = re.compile(
-    rb"<meta[^>]+charset\s*=\s*[\"']?([\w.\-]+)", re.IGNORECASE
+_META_TAG_RE = re.compile(rb"<meta\b([^>]*)>", re.IGNORECASE)
+_META_ATTR_RE = re.compile(
+    rb"([a-zA-Z-]+)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]+))"
+)
+_META_CONTENT_CHARSET_RE = re.compile(
+    rb"charset\s*=\s*[\"']?([\w.\-]+)", re.IGNORECASE
 )
 
 
 def _meta_prescan(body: bytes) -> str | None:
-    """WHATWG-style meta prescan: look for ``<meta charset=...>`` (or the
-    http-equiv Content-Type form — the regex matches the charset= inside its
-    content attribute too) within the first 1024 bytes, the same window
+    """WHATWG-style meta prescan over the first 1024 bytes — the window
     x/net/html/charset.DetermineEncoding scans for the reference
-    (response.go:86-108, the encoding chain colly inherits). The declared
-    label is only trusted if Python knows the codec."""
-    m = _META_CHARSET_RE.search(body[:1024])
-    if not m:
-        return None
-    label = m.group(1).decode("ascii", errors="replace").lower()
-    try:
-        b"".decode(label)
-    except LookupError:
-        return None
-    return label
+    (response.go:86-108, the encoding chain colly inherits). Per the spec's
+    algorithm the label is honored only from a ``charset`` ATTRIBUTE or
+    from the ``content`` attribute of an http-equiv=content-type meta
+    (a charset= inside some unrelated attribute value is not a
+    declaration), UTF-16 labels map to utf-8 (if the ASCII tag was
+    readable the stream cannot be UTF-16), x-user-defined maps to
+    windows-1252, and the label is only trusted if Python knows the
+    codec."""
+    for mt in _META_TAG_RE.finditer(body[:1024]):
+        attrs: dict[bytes, bytes] = {}
+        for am in _META_ATTR_RE.finditer(mt.group(1)):
+            name = am.group(1).lower()
+            if name not in attrs:
+                attrs[name] = am.group(2) or am.group(3) or am.group(4) or b""
+        raw = attrs.get(b"charset")
+        if raw is None and attrs.get(b"http-equiv", b"").lower() == b"content-type":
+            cm = _META_CONTENT_CHARSET_RE.search(attrs.get(b"content", b""))
+            raw = cm.group(1) if cm else None
+        if raw is None:
+            continue
+        label = raw.decode("ascii", errors="replace").strip().lower()
+        if label.startswith("utf-16") or label.startswith("utf16"):
+            label = "utf-8"
+        elif label == "x-user-defined":
+            label = "windows-1252"
+        try:
+            b"".decode(label)
+        except LookupError:
+            continue
+        return label
+    return None
 
 
 def detect_charset(body: bytes) -> str:

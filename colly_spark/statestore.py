@@ -54,16 +54,25 @@ def run_jobs_concurrent(spark: SparkSession, thunks: list):
     under pinned-thread mode (PYSPARK_PIN_THREAD=true, the default since
     Spark 3.2) each pooled Python thread gets its own JVM thread, which
     would otherwise start with EMPTY local properties; with pinning
-    disabled the wrapper is a passthrough and the shared JVM thread state
-    already carries them."""
+    disabled all Python threads share ONE JVM thread whose state already
+    carries them, and the wrapper must be skipped — pyspark's non-pinned
+    ``inheritable_thread_target(session)`` branch returns the SESSION
+    itself (pyspark/util.py: ``else: return f``), so applying it to the
+    thunk would raise 'SparkSession is not callable'."""
     if not thunks:
         return []
     if len(thunks) == 1:
         return [thunks[0]()]
 
-    # the session-arg form also inherits session TAGS (the bare-callable
-    # form warns that tags are dropped)
-    run = inheritable_thread_target(spark)(lambda t: t())
+    from py4j.clientserver import ClientServer
+    from pyspark import SparkContext
+
+    if isinstance(SparkContext._gateway, ClientServer):  # pinned-thread mode
+        # the session-arg form also inherits session TAGS (the
+        # bare-callable form warns that tags are dropped)
+        run = inheritable_thread_target(spark)(lambda t: t())
+    else:
+        run = lambda t: t()
     with ThreadPoolExecutor(max_workers=min(8, len(thunks))) as ex:
         return list(ex.map(run, thunks))
 

@@ -113,3 +113,17 @@ import pytest  # noqa: E402
 @pytest.fixture(name="spark_session_holder", scope="session")
 def _spark_session_holder(spark):
     return spark
+
+
+def test_string_ids_reject_loudly(spark):
+    # cast('long') on string keys would null every edge — a silent
+    # wrong-answer; the function must reject non-integral id columns
+    import pytest
+
+    p = spark.createDataFrame([("a", "b")], "a string, b string")
+    with pytest.raises(TypeError, match="integral"):
+        neardup_clusters(p)
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    docs = spark.createDataFrame([("d1",)], "doc_id string")
+    with pytest.raises(TypeError, match="integral"):
+        neardup_clusters(pairs, docs=docs)

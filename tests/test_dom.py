@@ -1044,3 +1044,17 @@ def test_xpath_keyword_named_elements():
     assert txt("//a[-(-(@n)) = 2]") == ["x"]
     assert txt("//a[((1 + 2) * 2) = 6]") == ["x"]
     assert txt("//r[count(a) < count(*)]/a") == ["x"]
+
+
+def test_xpath_attribute_axis_spelling_quote_safe():
+    """'attribute::' normalizes to '@' only OUTSIDE string literals — a
+    needle containing '/attribute::' is content, not an axis."""
+    tree = dom.parse_xml(
+        '<r><a href="x/attribute::y">one</a><a href="plain">two</a></r>'
+    )
+    got = [dom.text_content(e) for e in
+           dom.xpath_select(tree, "//a[contains(@href, 'x/attribute::y')]")]
+    assert got == ["one"]
+    # the unquoted spelling still normalizes
+    assert dom.xpath_select(tree, "//a/attribute::href") == [
+        "x/attribute::y", "plain"]

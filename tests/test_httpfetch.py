@@ -178,3 +178,45 @@ def test_fetcher_rejects_cookie_gated_fixture(spark, loopback):
         Crawler(spark, CrawlConfig(max_depth=2, shuffle_partitions=8),
                 tabs["pages"], tabs["images"], tabs["robots"],
                 fetcher=HttpFetcher(rewrite_to=base))
+
+
+def test_production_shape_ignores_fixture_headers(loopback):
+    """With rewrite_to=None (real-origin shape) the fixture-protocol headers
+    are untrusted input: X-Fixture-Miss must not drop the page, a malformed
+    X-Serve-Delay-Ms must not crash the task, and X-Base-Href is not
+    honored (a real origin steering link resolution via a custom header)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    import threading
+
+    from colly_spark.operators.httpfetch import _fetch_one
+
+    class _Hostile(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            body = b"<html>real page</html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("X-Fixture-Miss", "1")
+            self.send_header("X-Serve-Delay-Ms", "fast")
+            self.send_header("X-Base-Href", "http://evil.test/")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Hostile)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/p"
+        status, ct, body, base_href, delay = _fetch_one(
+            url, None, 2.0, 1 << 20, "ua")
+        assert status == 200 and body == b"<html>real page</html>"
+        assert base_href is None and delay is None
+        # fixture shape (rewrite_to set) still honors the protocol headers
+        status2, *_rest = _fetch_one(
+            "http://d00.test/p", f"http://127.0.0.1:{srv.server_port}",
+            2.0, 1 << 20, "ua")
+        assert status2 is None  # X-Fixture-Miss -> miss tuple
+    finally:
+        srv.shutdown()

@@ -74,3 +74,20 @@ def test_foreach_with_break():
                           follow_links=False, extract_images=False,
                           extractors=(ExtractorSpec(selector="li"),))
     assert [m[6] for m in out_all] == ["one", "two", "three", "four"]
+
+
+def test_meta_prescan_whatwg_rules():
+    """WHATWG prescan details: utf-16 labels map to utf-8 (a readable ASCII
+    tag cannot be UTF-16), x-user-defined maps to windows-1252, and a
+    charset= inside an unrelated attribute value is NOT a declaration."""
+    from colly_spark.operators.parse import detect_charset
+
+    assert detect_charset(b'<meta charset="utf-16"><p>hi</p>') == "utf-8"
+    assert detect_charset(b"<meta charset=UTF-16BE>") == "utf-8"
+    assert detect_charset(b"<meta charset=x-user-defined>") == "windows-1252"
+    assert detect_charset(
+        b'<meta name="description" content="charset=koi8-r">') == "utf-8"
+    assert detect_charset(
+        b'<meta http-equiv="Content-Type" '
+        b'content="text/html; charset=iso8859-2">') == "iso8859-2"
+    assert detect_charset(b"<META CHARSET=KOI8-R>") == "koi8-r"

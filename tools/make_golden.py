@@ -317,18 +317,28 @@ def write_crawl_golden(outdir: str) -> int:
     import pyarrow.parquet as pq
 
     from colly_spark.config import CrawlConfig, LimitRule
-    from colly_spark.fixtures import SiteSpec, build_site, make_seeds
+    from colly_spark.fixtures import (
+        CRAWL_GOLDEN_CFG,
+        CRAWL_GOLDEN_LIMITS,
+        CRAWL_GOLDEN_MAX_ROUNDS,
+        CRAWL_GOLDEN_SEEDS,
+        CRAWL_GOLDEN_SPEC,
+        SiteSpec,
+        build_site,
+        make_seeds,
+    )
     from colly_spark.simulator import simulate
 
-    site = build_site(SiteSpec(n_domains=3, pages_per_domain=12, seed=42))
+    # the ONE fixture definition shared with __spark_entry__.q_crawl_visits
+    # (colly_spark/fixtures.py) — the golden and the gate query cannot
+    # silently desync
+    site = build_site(SiteSpec(**CRAWL_GOLDEN_SPEC))
     cfg = CrawlConfig(
-        max_depth=3,
-        ignore_robots_txt=False,
-        limit_rules=(LimitRule(domain_glob="*.test", delay_ms=50, parallelism=4),),
-        shuffle_partitions=8,
+        limit_rules=tuple(LimitRule(**d) for d in CRAWL_GOLDEN_LIMITS),
+        **CRAWL_GOLDEN_CFG,
     )
-    sim = simulate(site, make_seeds([f"http://d0{d}.test/page/0" for d in range(3)]),
-                   cfg, max_rounds=6)
+    sim = simulate(site, make_seeds(list(CRAWL_GOLDEN_SEEDS)),
+                   cfg, max_rounds=CRAWL_GOLDEN_MAX_ROUNDS)
     visits = sorted(sim.visits, key=lambda v: v["fetch_seq"])
     pq.write_table(
         pa.table(
