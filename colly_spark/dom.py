@@ -687,6 +687,11 @@ def _xp_needs_stepwise(s: str) -> bool:
         # against an unquoted number — ElementPath only knows quoted equality
         or re.search(r"\[[^\]]*[<>]", s) is not None
         or re.search(r"=\s*-?\d", s) is not None
+        # a '/' inside a predicate: location-path operand ([a/b = 'v']) —
+        # the expression fallback evaluates child-axis paths; a '/' inside
+        # a quoted literal routes here too, harmlessly (the stepwise
+        # evaluator handles quoted equality)
+        or re.search(r"\[[^\]]*/", s) is not None
     )
 
 
@@ -1017,7 +1022,7 @@ _XP_EXPR_TOK = re.compile(
     r"|(?P<str>'[^']*'|\"[^\"]*\")"
     r"|(?P<at>@" + _XP_EXPR_NAME + r")"
     r"|(?P<name>" + _XP_EXPR_NAME + r")"
-    r"|(?P<op>!=|<=|>=|[=<>+\-*(),.]))"
+    r"|(?P<op>!=|<=|>=|[=<>+\-*(),./]))"
 )
 
 
@@ -1232,9 +1237,10 @@ class _XpExprParser:
             self.take()
             return lambda c: text_content(c[0])
         if k == "op" and v == "*":
-            # '*' at a value position: the all-children node-set (count(*))
+            # '*' at a value position: the all-children node-set
+            # (count(*)), continuing into a path if one follows ([*/sku])
             self.take()
-            return lambda c: [text_content(ch) for ch in c[0]]
+            return self.relpath_("*")
         if k == "name":
             self.take()
             if self.peek() == ("op", "("):
@@ -1247,10 +1253,58 @@ class _XpExprParser:
                         args.append(self.or_())
                 self.expect(")")
                 return self.fn_(v, args)
-            return lambda c, t=v: [
-                text_content(ch) for ch in c[0] if ch.tag == t
-            ]
+            return self.relpath_(v)
         self.fail()
+
+    def relpath_(self, first: str):
+        """A relative child-axis location path as a value operand —
+        ``a``, ``a/b/c``, ``a/@href``, ``a/text()`` — evaluated to the
+        node-set of string-values ('/' in an expression is always a path
+        separator; XPath spells division ``div``). Descendant ``//`` and
+        other axes inside predicates stay unsupported (the tokenizer has
+        no axis tokens, so they fail the parse loudly)."""
+        steps = [first]
+        tail = None  # ('attr', name) | ('text',)
+        while self.peek() == ("op", "/"):
+            self.take()
+            k, v = self.peek()
+            if k == "at":
+                self.take()
+                tail = ("attr", v[1:])
+                break
+            if k == "name" and v == "text" and (
+                self.i + 1 < len(self.toks) and self.toks[self.i + 1] == ("op", "(")
+            ):
+                self.take()
+                self.take()
+                self.expect(")")
+                tail = ("text",)
+                break
+            if k == "op" and v == "*":
+                self.take()
+                steps.append("*")
+                continue
+            if k != "name":
+                self.fail()
+            self.take()
+            steps.append(v)
+
+        def walk(c):
+            frontier = [c[0]]
+            for tag in steps:
+                frontier = [
+                    ch for n in frontier for ch in n
+                    if tag == "*" or ch.tag == tag
+                ]
+            if tail is None:
+                return [text_content(n) for n in frontier]
+            if tail[0] == "attr":
+                return [
+                    a for n in frontier
+                    if (a := n.get(tail[1])) is not None
+                ]
+            return [t for n in frontier if (t := _direct_text(n))]
+        return walk
 
     def fn_(self, name: str, args: list):
         na = len(args)

@@ -622,7 +622,8 @@ def test_xpath_unsupported_rejected_loudly():
 
     tree = dom.parse_xml("<r><a/><b/></r>")
     for bad in ("//a/namespace::x",
-                "//a[a/b = 'v']",  # location-path predicate operands
+                "//a[.//b = 'v']",  # descendant axis inside a predicate
+                "//a[4 / 2 = 2]",  # '/' is a path, XPath divides with div
                 "//a[foo(1)]",  # unknown function
                 "//a[@n + ]",  # malformed expression
                 "//a/attribute::href/parent::a"):
@@ -879,9 +880,8 @@ def test_xpath_numeric_comparisons_count_stringlength():
             dom.xpath_select(tree, "//price[text() > 12]")] == ["12.5", "30"]
     # not() composes with the numeric forms
     assert names("//prod[not(count(price) > 0)]") == ["Nameless"]
-    # unsupported numeric subject stays a loud reject
-    with pytest.raises(ValueError):
-        dom.xpath_select(tree, "//prod[count(a/b) > 1]")
+    # multi-step count() arguments evaluate as child-axis paths now
+    assert names("//prod[count(a/b) > 1]") == []  # no prod has nested a/b
     # last() compares as this step's per-context size (4 prods: > 2 is
     # position-independently true, = position() picks the final one)
     assert names("//prod[last() > 2]") == ["Widget", "Gadget", "Gizmo", "Nameless"]
@@ -1058,3 +1058,28 @@ def test_xpath_attribute_axis_spelling_quote_safe():
     # the unquoted spelling still normalizes
     assert dom.xpath_select(tree, "//a/attribute::href") == [
         "x/attribute::y", "plain"]
+
+
+def test_xpath_location_path_predicate_operands():
+    """Relative child-axis paths as predicate values — [a/b = 'v'],
+    count(a/b), contains(a/@href, 'x'), a/text(), wildcard steps — the
+    XPath 1.0 location-path-operand surface xmlquery evaluates
+    (xmlelement.go:26-42). Descendant '//' inside predicates and '/' as
+    division stay loud rejects."""
+    tree = dom.parse_xml(
+        "<cat>"
+        "<prod><info><sku>A1</sku></info><a href='/x/1'>l</a>"
+        "<name>W</name></prod>"
+        "<prod><info><sku>B2</sku></info><name>G</name></prod>"
+        "<prod><info><sku>A9</sku><sku>A8</sku></info><name>Z</name></prod>"
+        "</cat>"
+    )
+    names = lambda p: [e.text for e in dom.xpath_select(tree, p + "/name")]
+    assert names("//prod[info/sku = 'A1']") == ["W"]
+    assert names("//prod[count(info/sku) > 1]") == ["Z"]
+    assert names("//prod[contains(a/@href, '/x/')]") == ["W"]
+    assert names("//prod[starts-with(info/sku, 'A')]") == ["W", "Z"]
+    assert names("//prod[info/sku/text() = 'B2']") == ["G"]
+    assert names("//prod[*/sku]") == ["W", "G", "Z"]
+    assert names("//prod[*/sku = 'B2']") == ["G"]
+    assert names("//prod[not(a/@href)]") == ["G", "Z"]
