@@ -1235,6 +1235,10 @@ class _XpExprParser:
             )
         if k == "op" and v == ".":
             self.take()
+            if self.peek() == ("op", "/"):
+                # './x' / './/x': a context-relative path ('//' = any
+                # descendant); the leading '.' contributes no step
+                return self.relpath_(None)
             return lambda c: text_content(c[0])
         if k == "op" and v == "*":
             # '*' at a value position: the all-children node-set
@@ -1256,21 +1260,31 @@ class _XpExprParser:
             return self.relpath_(v)
         self.fail()
 
-    def relpath_(self, first: str):
-        """A relative child-axis location path as a value operand —
-        ``a``, ``a/b/c``, ``a/@href``, ``a/text()`` — evaluated to the
-        node-set of string-values ('/' in an expression is always a path
-        separator; XPath spells division ``div``). Descendant ``//`` and
-        other axes inside predicates stay unsupported (the tokenizer has
-        no axis tokens, so they fail the parse loudly)."""
-        steps = [first]
+    def relpath_(self, first: str | None):
+        """A relative location path as a value operand — ``a``, ``a/b/c``,
+        ``a/@href``, ``a/text()``, ``.//img``, ``a//b``, wildcard steps —
+        evaluated to the node-set of string-values ('/' in an expression
+        is always a path separator; XPath spells division ``div``).
+        ``first`` is the already-consumed leading child step, or None for
+        a context-relative path starting at '.'. Other axes inside
+        predicates stay unsupported (no axis tokens, loud parse fail)."""
+        steps: list[tuple[bool, str]] = []  # (descendant, tag)
+        if first is not None:
+            steps.append((False, first))
         tail = None  # ('attr', name) | ('text',)
         while self.peek() == ("op", "/"):
             self.take()
+            desc = False
+            if self.peek() == ("op", "/"):
+                self.take()
+                desc = True
             k, v = self.peek()
             if k == "at":
                 self.take()
                 tail = ("attr", v[1:])
+                if desc:
+                    self.fail()  # '//@x' — attribute of ANY descendant:
+                    # ambiguous with the final-step '@' surface, reject
                 break
             if k == "name" and v == "text" and (
                 self.i + 1 < len(self.toks) and self.toks[self.i + 1] == ("op", "(")
@@ -1282,20 +1296,29 @@ class _XpExprParser:
                 break
             if k == "op" and v == "*":
                 self.take()
-                steps.append("*")
+                steps.append((desc, "*"))
                 continue
             if k != "name":
                 self.fail()
             self.take()
-            steps.append(v)
+            steps.append((desc, v))
+        if not steps:
+            self.fail()  # './' with no step
 
         def walk(c):
             frontier = [c[0]]
-            for tag in steps:
-                frontier = [
-                    ch for n in frontier for ch in n
-                    if tag == "*" or ch.tag == tag
-                ]
+            for desc, tag in steps:
+                nxt, seen = [], set()
+                for n in frontier:
+                    cand = (
+                        (ch for ch in n.iter() if ch is not n)
+                        if desc else iter(n)
+                    )
+                    for ch in cand:
+                        if (tag == "*" or ch.tag == tag) and id(ch) not in seen:
+                            seen.add(id(ch))
+                            nxt.append(ch)
+                frontier = nxt
             if tail is None:
                 return [text_content(n) for n in frontier]
             if tail[0] == "attr":

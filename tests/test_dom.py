@@ -622,7 +622,7 @@ def test_xpath_unsupported_rejected_loudly():
 
     tree = dom.parse_xml("<r><a/><b/></r>")
     for bad in ("//a/namespace::x",
-                "//a[.//b = 'v']",  # descendant axis inside a predicate
+                "//a[following::b]",  # named axes inside a predicate
                 "//a[4 / 2 = 2]",  # '/' is a path, XPath divides with div
                 "//a[foo(1)]",  # unknown function
                 "//a[@n + ]",  # malformed expression
@@ -1083,3 +1083,31 @@ def test_xpath_location_path_predicate_operands():
     assert names("//prod[*/sku]") == ["W", "G", "Z"]
     assert names("//prod[*/sku = 'B2']") == ["G"]
     assert names("//prod[not(a/@href)]") == ["G", "Z"]
+
+
+def test_xpath_descendant_paths_in_predicates():
+    """'.//x' and 'a//b' location paths as predicate operands — the
+    scraper idiom [.//img] / [.//sku = 'v'] (xmlquery: full XPath 1.0,
+    xmlelement.go:26-42). Node identity dedups the walk; './' alone and
+    the ambiguous './/@x' stay loud rejects."""
+    import pytest
+
+    tree = dom.parse_xml(
+        "<cat>"
+        "<prod><info><sku>A1</sku></info><a href='/x/1'><img src='i.png'/>"
+        "</a><name>W</name></prod>"
+        "<prod><info><deep><sku>B2</sku></deep></info><name>G</name></prod>"
+        "<prod><name>Z</name></prod>"
+        "</cat>"
+    )
+    names = lambda p: [e.text for e in dom.xpath_select(tree, p + "/name")]
+    assert names("//prod[.//sku]") == ["W", "G"]
+    assert names("//prod[.//sku = 'B2']") == ["G"]
+    assert names("//prod[.//img]") == ["W"]
+    assert names("//prod[info//sku = 'B2']") == ["G"]
+    assert names("//prod[count(.//sku) = 1]") == ["W", "G"]
+    assert names("//prod[not(.//sku)]") == ["Z"]
+    assert names("//prod[contains(.//a/@href, '/x/')]") == ["W"]
+    for bad in ("//prod[./]", "//prod[.//@x]"):
+        with pytest.raises(ValueError):
+            dom.xpath_select(tree, bad)
