@@ -60,12 +60,14 @@ evaluates both selector languages over it:
   1.0 expressions — ``or``/``and``, ``+ - * div mod`` arithmetic with
   IEEE semantics, comparisons between computed values (``[position() <
   last()]``), ``concat()``/``boolean()``/``number()``/``string()``/
-  ``true()``/``false()``/``name()`` with nesting, node-sets comparing
-  existentially — and top-level ``|`` unions merge in document order.
-  The remaining XPath 1.0 surface (attribute/namespace axes as mid-path
-  steps, location-path predicate operands like ``[a/b = 'v']``,
-  variables) raises ValueError (loud reject, documented divergence from
-  xmlquery's full XPath 1.0, /root/reference/xmlelement.go:26-42).
+  ``true()``/``false()``/``name()`` with nesting, relative location
+  paths as operands (``[a/b = 'v']``, ``[.//img]``, ``count(info//sku)``,
+  ``contains(a/@href, 'x')``) with node-sets comparing existentially —
+  and top-level ``|`` unions merge in document order. The remaining
+  XPath 1.0 surface (attribute/namespace axes as mid-path steps, named
+  axes inside predicates, variables) raises ValueError (loud reject,
+  documented divergence from xmlquery's full XPath 1.0,
+  /root/reference/xmlelement.go:26-42).
 
 Everything here is pure Python over one in-memory tree per document; the
 Spark side calls it from an Arrow-batched pandas UDF (one parse per page,
