@@ -375,6 +375,26 @@ def q_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ngram_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination sweep: every 50th document plays the
+    benchmark/probe corpus; the remaining documents are the training
+    corpus, and any of them sharing >=1 3-word shingle with a probe is
+    flagged with its distinct-contaminated-shingle count
+    (dedup.ngram_contamination — probe shingles broadcast, zero extra
+    shuffle on the corpus side). Oracle: DuckDB recomputes the identical
+    shingle sets relationally and counts the semi-join hits."""
+    from colly_spark.functions.dedup import ngram_contamination
+
+    d = _read(spark, sf, "documents")
+    probes = d.where(F.col("doc_id") % 50 == 0)
+    corpus = d.where(F.col("doc_id") % 50 != 0)
+    return (
+        ngram_contamination(corpus, probes)
+        .select("doc_id", "contaminated_ngrams")
+        .orderBy("doc_id")
+    )
+
+
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash signatures (pure-JVM bit kernel). Oracle: golden parquet from
     the independent pure-Python implementation (tools/make_golden.py)."""
@@ -580,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_neardup": q_embedding_neardup,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_neardup_clusters": q_neardup_clusters,
+        "q_ngram_contamination": q_ngram_contamination,
         "q_minhash_neardup": q_minhash_neardup,
         "q_simhash": q_simhash,
         "q_simhash_neardup": q_simhash_neardup,
@@ -863,6 +884,29 @@ def oracle_sql() -> dict[str, str]:
         # (cc enumerates every (node, smaller-reachable-id); min per node
         # is the component minimum — an independent algorithm from Spark's
         # large-star/small-star, same fixpoint)
+        # decontamination: identical shingle derivation (no df cap here —
+        # contamination counts every shared shingle), probe side = every
+        # 50th doc, semi-join hit count per remaining doc
+        "q_ngram_contamination": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split(regexp_replace(lower(trim(text)),
+                                                   '\\s+', ' ', 'g'), ' ') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+                            ELSE array_to_string(w[i+1:i+3], ' ') END AS shingle
+                FROM w, UNNEST(range(0, greatest(len(w) - 3, 0) + 1)) AS t(i)
+            ), probe AS (
+                SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+            )
+            SELECT sh.doc_id, count(*) AS contaminated_ngrams
+            FROM sh JOIN probe USING (shingle)
+            WHERE sh.doc_id % 50 != 0
+            GROUP BY sh.doc_id
+            ORDER BY sh.doc_id
+        """,
         "q_neardup_clusters": """
             WITH RECURSIVE w AS (
                 SELECT doc_id,

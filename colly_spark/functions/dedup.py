@@ -594,3 +594,48 @@ def neardup_clusters(
             F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
         )
     )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    probe_text_col: str = "text",
+    k: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share at
+    least one k-word shingle with a probe corpus (eval benchmarks, held-out
+    test sets — the standard n-gram-overlap decontamination sweep a
+    training-data pipeline runs before every release). Returns
+    ``(doc_id, contaminated_ngrams)`` for contaminated documents only,
+    where contaminated_ngrams counts the document's DISTINCT shingles that
+    appear anywhere in the probe set.
+
+    Plan shape for 100 TB: the probe side is tiny relative to the corpus
+    (benchmarks are megabytes), so its distinct-shingle set BROADCASTS —
+    the semi-join adds NO shuffle to the document side, the explode
+    streams, and the one groupBy(doc_id) count combines map-side. Nothing
+    is quadratic and no all-pairs comparison exists. Same tokenization as
+    every other shingle op in this module (lowercase, whitespace
+    normalize), so thresholds compose across operators. (colly has no
+    equivalent; pipeline surface beyond the reference, like the rest of
+    this module.)
+    """
+    d = docs.select(
+        id_col,
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"),
+    )
+    p = (
+        probes.select(
+            F.explode(
+                F.array_distinct(shingles(F.col(probe_text_col), k))
+            ).alias("shingle")
+        )
+        .dropDuplicates(["shingle"])
+    )
+    return (
+        d.join(F.broadcast(p), "shingle", "leftsemi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("contaminated_ngrams"))
+    )

@@ -437,3 +437,31 @@ def test_winnow_plan_has_no_exchange(spark):
     df = spark.createDataFrame([(1, "abcdefghijklmno")], "doc_id long, text string")
     plan = text.winnow_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_ngram_contamination_values_and_plan(spark):
+    """Decontamination: hand-checked shingle overlap counts, docs with no
+    probe shingle absent from the output, and the plan property the
+    operator claims — the probe side broadcasts (BroadcastHashJoin, no
+    SortMergeJoin), so a 100-TB corpus side never shuffles for the join."""
+    from colly_spark.functions.dedup import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),     # shares 2 shingles w/ probe
+            (2, "totally unrelated words here"),  # clean
+            (3, "quick brown fox"),               # exactly one probe shingle
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, "the quick brown fox sleeps")], "doc_id long, text string"
+    )
+    out = ngram_contamination(docs, probes)
+    got = {r["doc_id"]: r["contaminated_ngrams"] for r in out.collect()}
+    # probe shingles: {the quick brown, quick brown fox, brown fox sleeps}
+    # doc1 shingles:  {the quick brown, quick brown fox, brown fox jumps}
+    assert got == {1: 2, 3: 1}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
