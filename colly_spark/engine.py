@@ -918,18 +918,41 @@ class Crawler:
                                       num_partitions=cfg.shuffle_partitions,
                                       return_totals=True, pins=self._pins)
         el_before = F.col("__eligible_before")
+        # queue occupancy counts only rows that actually ENTER the queue:
+        # OnRequest-aborted requests return before pending.append in colly's
+        # scrape (and simulator.py submit), so they never occupy a slot —
+        # raw el_before would wrongly ErrQueueFull later rows when aborts
+        # and max_queue_size combine
+        occ_before = el_before - F.col("__abort_elig_before")
         budget_full = (
             F.lit(cfg.max_requests > 0) & (F.lit(built) + el_before >= F.lit(cfg.max_requests or 0))
         )
         deferred_prev = self.store.counters.get("pending", 0)
         queue_full = (
             F.lit(cfg.max_queue_size > 0)
-            & (F.lit(deferred_prev) + el_before >= F.lit(cfg.max_queue_size or 0))
+            & (F.lit(deferred_prev) + occ_before >= F.lit(cfg.max_queue_size or 0))
         )
         # "enqueued" = colly built the Request (ID assigned, budget spent,
         # seen already marked); an OnRequest abort (E2/E4) then stops it
-        # BEFORE the fetch and before any politeness token is consumed
+        # BEFORE the fetch and before any politeness token is consumed.
+        # Blocking with the RAW prefix counts is exact: both caps are
+        # sticky within a batch (counts never decrease), so the first row
+        # blocked under raw counts is the first blocked in reality and
+        # everything after it is blocked either way.
         enqueued = F.col("__eligible") & ~budget_full & ~queue_full
+        # ...but ATTRIBUTION is not: when the queue cap binds first, rows
+        # blocked by it never spend budget, so the ErrMaxRequests check
+        # must use the REAL built count min(el_before, R) where R = this
+        # batch's enqueued total. R requires one extra tiny count job —
+        # only when BOTH caps are configured (rare; single-cap configs are
+        # exact in closed form).
+        budget_attr = budget_full
+        exact_enqueued: int | None = None
+        if cfg.max_requests > 0 and cfg.max_queue_size > 0:
+            exact_enqueued = sk.where(enqueued).count()
+            budget_attr = F.lit(built) + F.least(
+                el_before, F.lit(exact_enqueued)
+            ) >= F.lit(cfg.max_requests)
         accepted = enqueued & ~F.col("__abort")
         # queue-full rows are NOT seen-marked: colly's ErrQueueFull fires in
         # AddRequest (queue/queue.go:234-236) before scrape's requestCheck
@@ -947,7 +970,7 @@ class Crawler:
         error_kind = (
             F.when(F.col("__url_bad"), "ErrURLParse")
             .when(depth_bad, "ErrMaxDepth")
-            .when(budget_full, "ErrMaxRequests")
+            .when(budget_attr, "ErrMaxRequests")
             .when(F.col("__static_kind").isNotNull(), F.col("__static_kind"))
             .when(F.col("__robots_kind").isNotNull(), F.col("__robots_kind"))
             .when(queue_full, "ErrQueueFull")
@@ -975,7 +998,15 @@ class Crawler:
         n_eligible = tot["__eligible"]
         k_budget = (cfg.max_requests - built) if cfg.max_requests else n_eligible
         k_queue = (cfg.max_queue_size - deferred_prev) if cfg.max_queue_size else n_eligible
-        n_enqueued = max(0, min(n_eligible, k_budget, k_queue))
+        if exact_enqueued is not None:
+            n_enqueued = exact_enqueued
+        elif cfg.max_queue_size and cfg.abort_url_filters:
+            # aborted rows don't occupy the queue, so the queue binds at an
+            # eligible-rank the totals can't express in closed form — count
+            # exactly (one extra job; only queue-cap + abort-filter configs)
+            n_enqueued = sk.where(enqueued).count()
+        else:
+            n_enqueued = max(0, min(n_eligible, k_budget, k_queue))
         if not cfg.abort_url_filters:
             n_accepted = n_enqueued
         elif n_enqueued == n_eligible:
@@ -1052,6 +1083,11 @@ class Crawler:
             dispatch = accepted_df.withColumn(
                 "fetch_seq", F.col("enqueue_seq") - F.lit(built) + F.lit(fetched)
             ).persist()
+            # pin at persist time: `dispatch` is reassigned below (header
+            # -abort select, cache split) and unpersist() on a DERIVED
+            # frame is a no-op — pinning the original is what releases the
+            # cache entry at flush
+            self._pins.append(dispatch)
             deferred = spark.createDataFrame([], schema=schemas.FRONTIER)
             n_dispatch = n_accepted
         else:
@@ -1179,22 +1215,42 @@ class Crawler:
             hash_col="hop_hash", dh_col="__hop_dh", out_col="__sp",
         )
         hops = hops.withColumn(
-            "__conflict", F.col("__sp") | (F.count(F.lit(1)).over(whop) > 0)
+            # __first = not already in url_seen AND no earlier hop row of
+            # this batch carries the hash — the first-ever occurrence,
+            # which is both the seen-conflict signal (a chain aborts at a
+            # NON-first hop) and the first-mark-only filter that keeps
+            # url_seen globally unique
+            "__first", ~F.col("__sp") & (F.count(F.lit(1)).over(whop) == 0)
         )
-        aborts = (
-            hops.where("__conflict")
-            .groupBy("fetch_seq")
-            .agg(F.min("hop_idx").alias("abort_idx"))
-        )
-        hops_marked = (
-            hops.join(aborts, "fetch_seq", "left")
-            .where(F.col("abort_idx").isNull() | (F.col("hop_idx") < F.col("abort_idx")))
-            .select(
-                F.col("hop_hash").alias("url_hash"),
-                F.col("__hop_dh").alias("domain_hash"),
-                F.lit(rnd).alias("round_added"),
+        mark_cols = [
+            F.col("hop_hash").alias("url_hash"),
+            F.col("__hop_dh").alias("domain_hash"),
+            F.lit(rnd).alias("round_added"),
+        ]
+        if cfg.allow_url_revisit:
+            # the hop-seen conflict is guarded by !AllowURLRevisit in colly
+            # (colly.go:1486-1510) and the simulator (simulator.py): under
+            # revisit, chains re-follow previously seen hops — no
+            # truncation, no AlreadyVisited abort — while MARKING keeps
+            # first-ever-wins set semantics. aborts stays an empty frame so
+            # every downstream abort_idx read is null.
+            aborts = (
+                hops.where(F.lit(False))
+                .groupBy("fetch_seq")
+                .agg(F.min("hop_idx").alias("abort_idx"))
             )
-        )
+            hops_marked = hops.where("__first").select(*mark_cols)
+        else:
+            aborts = (
+                hops.where(~F.col("__first"))
+                .groupBy("fetch_seq")
+                .agg(F.min("hop_idx").alias("abort_idx"))
+            )
+            hops_marked = (
+                hops.join(aborts, "fetch_seq", "left")
+                .where(F.col("abort_idx").isNull() | (F.col("hop_idx") < F.col("abort_idx")))
+                .select(*mark_cols)
+            )
         self.store.stage_append("url_seen", hops_marked, rnd)
         if use_bloom:
             new_hashes = (
@@ -1401,6 +1457,10 @@ class Crawler:
         else:
             d = d.withColumn("__m", self._x_m)
             d = (d if cfg.fetch_cache_enabled else d.drop("page_body")).persist()
+        # pin at persist time: under check_head the withColumn chain below
+        # reassigns `d`, and unpersist() on the derived frame would leave
+        # the original (widest-in-the-engine) cache entry stranded
+        self._pins.append(d)
         if cfg.check_head:
             # HEAD takes slot 2k, its GET 2k+1: downstream consumers
             # (children's parent_seq, results, elements, retry) read the
@@ -1670,7 +1730,9 @@ class Crawler:
             else:
                 to_compact.append("fetch_cache")
         self.store.compact(to_compact)
-        self._pins.extend([c, dispatch, d])
+        # dispatch (fast path) and d are pinned at their persist sites —
+        # they get reassigned before reaching here; c never is
+        self._pins.append(c)
         self.store.commit_round(
             rnd,
             {"built": built + n_enqueued, "fetched": fetched + n_dispatch,

@@ -196,7 +196,14 @@ def simulate(site: Site, seeds: list[dict], cfg: CrawlConfig, max_rounds: int | 
                 "round": rnd,
             }
             if cfg.check_head:
-                res.visits.append(dict(visit, fetch_seq=2 * slot))  # the HEAD
+                # the HEAD takes slot 2k — its proxy derives from ITS
+                # fetch_seq (the model assigns proxies[seq % n] per emitted
+                # visit), not from the GET slot computed above
+                res.visits.append(dict(
+                    visit, fetch_seq=2 * slot,
+                    proxy=(cfg.proxies[(2 * slot) % len(cfg.proxies)]
+                           if cfg.proxies else None),
+                ))  # the HEAD
                 # the aborted HEAD errors -> GET never issued
             else:
                 res.visits.append(visit)

@@ -494,3 +494,63 @@ def test_bare_semicolon_segment_hash_parity(spark):
     out, _, _ = run_compare(spark, tabs, seeds, cfg, site=site)
     urls = [r["url"] for r in out["visits"].orderBy("fetch_seq").collect()]
     assert urls == [f"{base}/", f"{base}/x;"]  # visited exactly once
+
+
+def test_queue_cap_ignores_aborted_rows(spark, tabs):
+    """OnRequest-aborted requests never enter the queue (they return before
+    pending.append in colly's scrape), so they must not count toward
+    max_queue_size occupancy — with raw prefix counts the engine wrongly
+    ErrQueueFull'd later rows (round-5 review finding)."""
+    cfg = CrawlConfig(max_depth=2, max_queue_size=3,
+                      abort_url_filters=(r"/page/[123]$",),
+                      shuffle_partitions=8)
+    seeds = make_seeds([f"http://d00.test/page/{i}" for i in range(8)])
+    out, sim, _ = run_compare(spark, tabs, seeds, cfg, max_rounds=6)
+    assert any(e["error_kind"] == "AbortedBeforeRequest" for e in sim.errors)
+    assert any(e["error_kind"] == "ErrQueueFull" for e in sim.errors)
+
+
+def test_budget_and_queue_caps_interact(spark, tabs):
+    """When the queue cap binds before the request budget, overflow rows
+    never spend budget — they are ErrQueueFull, not ErrMaxRequests
+    (simulator checks built_requests, which freezes once the queue
+    blocks; round-5 review finding)."""
+    cfg = CrawlConfig(max_depth=2, max_requests=6, max_queue_size=3,
+                      shuffle_partitions=8)
+    seeds = make_seeds([f"http://d00.test/page/{i}" for i in range(8)])
+    out, sim, _ = run_compare(spark, tabs, seeds, cfg, max_rounds=6)
+    assert any(e["error_kind"] == "ErrQueueFull" for e in sim.errors)
+
+
+def test_allow_url_revisit_follows_seen_redirect_hops(spark, tabs):
+    """AllowURLRevisit guards the redirect hop-seen conflict
+    (colly.go:1486-1510): a re-dispatched chain re-follows previously seen
+    hops and serves the final page instead of aborting AlreadyVisited at
+    the hop; url_seen stays a set (first-ever mark)."""
+    cfg = CrawlConfig(max_depth=3, allow_url_revisit=True, shuffle_partitions=8)
+    seeds = make_seeds(["http://d00.test/redirect/0", "http://d00.test/page/0"])
+    out, sim, _ = run_compare(spark, tabs, seeds, cfg, max_rounds=4)
+    # the chain's final page is visited at least twice (seed + re-dispatch)
+    finals = [v for v in sim.visits if v["url"] == "http://d00.test/redirect/0"]
+    assert len(finals) >= 2
+
+
+def test_check_head_header_abort_proxy_slot(spark, tabs):
+    """A header-aborted request under CheckHead records the HEAD visit at
+    slot 2k — its proxy must derive from THAT fetch_seq, not the GET's
+    2k+1 slot (round-5 review finding: the simulator relabeled the seq
+    without recomputing the proxy)."""
+    cfg = CrawlConfig(max_depth=1, check_head=True,
+                      proxies=("p0:8080", "p1:8080"),
+                      abort_request_header_filters=(("x-kill", "^yes$"),),
+                      shuffle_partitions=8)
+    seeds = [
+        {"seed_seq": 0, "url": "http://d00.test/page/0", "method": "GET",
+         "body": None, "headers": {"x-kill": "yes"}, "ctx": {}},
+        {"seed_seq": 1, "url": "http://d00.test/page/1", "method": "GET",
+         "body": None, "headers": None, "ctx": {}},
+    ]
+    out, sim, _ = run_compare(spark, tabs, seeds, cfg, max_rounds=3)
+    eng = [(r["fetch_seq"], r["proxy"])
+           for r in out["visits"].orderBy("fetch_seq").collect()]
+    assert eng == [(v["fetch_seq"], v["proxy"]) for v in sim.visits]
