@@ -294,6 +294,81 @@ def q_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     return winnow_fingerprints(docs).orderBy("doc_id", "fp")
 
 
+def q_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic md5-bucket train/valid/test split (leak-proof corpus
+    partitioning; zero-shuffle narrow projection). Oracle recomputes the
+    hex-prefix bucket with DuckDB's md5 — identical digests by spec."""
+    from colly_spark.functions.text import hash_split
+
+    d = _read(spark, sf, "documents")
+    return hash_split(d).select("doc_id", "bucket", "split")
+
+
+def q_term_df(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary statistics (document frequency / term frequency /
+    smoothed idf) — one token-key shuffle with partial aggregation; the
+    corpus size rides a broadcast 1-row aggregate, never a collect."""
+    from colly_spark.functions.text import term_doc_freq
+
+    d = _read(spark, sf, "documents")
+    return term_doc_freq(d)
+
+
+# The documents fixture is single-line prose, so the line-shaped gates
+# first reshape it DETERMINISTICALLY into 8-token lines (same expression
+# relationally in the oracle); with a ~50-word vocabulary the reshaped
+# corpus repeats lines across docs, so the dedup path is genuinely hit.
+_LINE_WRAP_TOKENS = 8
+
+
+def _wrap_lines(text):  # Spark Column -> Column
+    w = F.split(F.trim(text), r"\s+")
+    n_chunks = (F.ceil(F.size(w) / F.lit(float(_LINE_WRAP_TOKENS))) - 1).cast("int")
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks),
+            lambda i: F.array_join(
+                F.slice(w, i * _LINE_WRAP_TOKENS + 1, _LINE_WRAP_TOKENS), " "
+            ),
+        ),
+        "\n",
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Line-level boilerplate removal (CCNet/RefinedWeb pre-dedup): lines
+    repeated across >= 2 distinct docs are dropped everywhere, survivors
+    reassembled in order. Oracle reproduces the whole pipeline
+    relationally (lateral unnest + HAVING + ordered string_agg)."""
+    from colly_spark.functions.text import line_dedup
+
+    d = _read(spark, sf, "documents")
+    reshaped = d.select("doc_id", _wrap_lines(F.col("text")).alias("text"))
+    return line_dedup(reshaped, min_doc_freq=2)
+
+
+def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing (emails/phones/IPv4 -> typed placeholders + audit
+    counts). The fixture corpus carries no PII, so the gate injects a
+    deterministic email/phone/IP per doc_id in BOTH engines, making the
+    oracle exercise every pattern on every row."""
+    from colly_spark.functions.text import redact_pii
+
+    d = _read(spark, sf, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567 at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+    return redact_pii(seeded)
+
+
 def q_ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     from colly_spark.functions.similarity import brute_force_topk
 
@@ -595,6 +670,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_scoring": q_quality_scoring,
         "q_lang_id": q_lang_id,
         "q_winnow_fingerprints": q_winnow_fingerprints,
+        "q_hash_split": q_hash_split,
+        "q_term_df": q_term_df,
+        "q_line_dedup": q_line_dedup,
+        "q_pii_redact": q_pii_redact,
         "q_ann_bruteforce": q_ann_bruteforce,
         "q_ann_ivf": q_ann_ivf,
         "q_embedding_neardup": q_embedding_neardup,
@@ -755,6 +834,91 @@ def oracle_sql() -> dict[str, str]:
                          ELSE fp END)::BIGINT AS fp
             FROM fps, UNNEST(fp_list) AS u(fp)
             ORDER BY doc_id, fp
+        """,
+        "q_hash_split": """
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 98 THEN 'train'
+                        WHEN bucket < 99 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS UBIGINT) % 100 AS bucket
+                  FROM documents)
+        """,
+        "q_term_df": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            n AS (SELECT COUNT(*) AS corpus_n FROM documents)
+            SELECT token, COUNT(DISTINCT doc_id) AS doc_freq,
+                   COUNT(*) AS term_freq,
+                   ROUND(ln((corpus_n + 1) / (COUNT(DISTINCT doc_id) + 1)) + 1, 6)
+                       AS idf
+            FROM toks, n GROUP BY token, corpus_n
+        """,
+        "q_line_dedup": r"""
+            WITH reshaped AS (
+              SELECT doc_id,
+                     array_to_string(
+                       list_transform(range(0, CAST(ceil(len(ws)/8.0) AS INT)),
+                         i -> array_to_string(ws[i*8+1 : i*8+8], ' ')),
+                       chr(10)) AS text
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents)
+            ),
+            lines AS (
+              SELECT doc_id, j - 1 AS pos, ls[j] AS line,
+                     md5(lower(trim(ls[j]))) AS lfp
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                    FROM reshaped),
+                   UNNEST(range(1, len(ls) + 1)) AS t(j)
+            ),
+            boiler AS (
+              SELECT lfp FROM lines GROUP BY lfp
+              HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            kept AS (
+              SELECT * FROM lines WHERE lfp NOT IN (SELECT lfp FROM boiler)
+            ),
+            agg AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS kept_text,
+                     COUNT(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            ),
+            base AS (
+              SELECT doc_id, len(string_split(text, chr(10))) AS n_lines
+              FROM reshaped
+            )
+            SELECT b.doc_id, coalesce(a.kept_text, '') AS text, b.n_lines,
+                   b.n_lines - coalesce(a.n_kept, 0) AS n_removed
+            FROM base b LEFT JOIN agg a USING (doc_id)
+        """,
+        "q_pii_redact": r"""
+            WITH seeded AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or 555-123-4567 at 10.0.'
+                          || CAST(doc_id % 256 AS VARCHAR) || '.1' AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                     '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS text,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_emails,
+                   len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+                       AS n_phones,
+                   len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b'))
+                       AS n_ips
+            FROM seeded
         """,
         "q_ann_bruteforce": """
             SELECT query_id, neighbor_id, rank FROM (

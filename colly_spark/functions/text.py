@@ -164,6 +164,159 @@ def winnow_doc(text: str | None, k: int = 8, window: int = 4):
     return np.unique(sel).view(np.int64)
 
 
+def hash_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    splits: tuple[tuple[str, int], ...] = (("train", 98), ("valid", 1), ("test", 1)),
+) -> DataFrame:
+    """Deterministic train/valid/test assignment by content-free id hash —
+    the standard leak-proof split for training corpora (a doc's split never
+    changes when the corpus grows, unlike random sampling or modulo row
+    number). Bucket = first 8 hex chars of md5(id) as an integer, mod the
+    total weight; split labels cover contiguous bucket ranges in the order
+    given. md5 (not xxhash64) so any engine reproduces it bit-for-bit.
+
+    Pure narrow projection: zero shuffles, zero Python — survives any
+    scale-up unchanged.
+    """
+    total = sum(w for _, w in splits)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % total
+    )
+    expr, lo = None, 0
+    for name, w in splits:
+        cond = bucket < (lo + w)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += w
+    return docs.withColumn("bucket", bucket).withColumn(
+        "split", expr.otherwise(splits[-1][0])
+    )
+
+
+def term_doc_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary statistics: per whitespace token, the document
+    frequency (distinct docs containing it), total term frequency, and
+    smoothed idf = ln((N+1)/(df+1)) + 1. The building block for tf-idf
+    filtering and boilerplate-vocabulary detection.
+
+    One shuffle on the token key with map-side partial aggregation; the
+    corpus count N rides a broadcast cross join of a 1-row aggregate (never
+    a driver collect). Output is vocabulary-sized — orders of magnitude
+    smaller than the corpus at any scale.
+    """
+    t = F.col(text_col)
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.when(F.length(F.trim(t)) == 0, F.array()).otherwise(words(t))
+        ).alias("token"),
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("corpus_n"))
+    per_tok = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("term_freq"),
+    )
+    return per_tok.crossJoin(F.broadcast(n)).select(
+        "token",
+        "doc_freq",
+        "term_freq",
+        F.round(
+            F.log((F.col("corpus_n") + 1) / (F.col("doc_freq") + 1)) + 1, 6
+        ).alias("idf"),
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet / RefinedWeb pre-dedup
+    step): a line whose case/whitespace-normalized form appears in >=
+    ``min_doc_freq`` DISTINCT documents (headers, nav bars, cookie
+    banners) is dropped from every document; surviving lines are
+    reassembled in original order. Returns (doc_id, text, n_lines,
+    n_removed) for every input doc — a fully-boilerplate doc comes back
+    with empty text, not a missing row, so downstream counts stay honest.
+
+    Scale shape: the line table shuffles once on a 16-byte line hash to
+    find repeated lines; the repeated-line set (bounded by how much
+    boilerplate the web repeats, tiny relative to the corpus) broadcasts
+    back as an anti-join, and one groupBy(doc_id) reassembles. Bodies
+    cross the wire once each way; no driver collect, no Python.
+    """
+    t = F.col(text_col)
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split(t, "\n")).alias("pos", "line")
+    ).withColumn("lfp", F.md5(F.lower(F.trim("line"))))
+    boiler = (
+        lines.groupBy("lfp")
+        .agg(F.countDistinct("doc_id").alias("line_df"))
+        .filter(F.col("line_df") >= min_doc_freq)
+        .select("lfp")
+    )
+    kept = (
+        lines.join(F.broadcast(boiler), "lfp", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("kept_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    base = docs.select(
+        "doc_id", F.size(F.split(t, "\n")).alias("n_lines")
+    )
+    return base.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("kept_text", F.lit("")).alias("text"),
+        "n_lines",
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+    )
+
+
+# PII patterns chosen inside the Java-regex / RE2 common subset (no
+# lookarounds, no backrefs) so the DuckDB oracle runs them verbatim.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_IPV4_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing for training corpora: replace emails, NANP-style
+    phone numbers, and IPv4 literals with typed placeholder tokens and
+    count each kind (counted on the ORIGINAL text, so the counts are
+    auditable against the input). Email redacts first — its local part
+    may contain digits/dots that the narrower patterns would otherwise
+    bite into; phone and IPv4 cannot match each other (2 vs 3 dots).
+
+    Pure JVM regexp projection: zero shuffles, zero Python, codegen'd.
+    """
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        clean.alias("text"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).alias("n_ips"),
+    )
+
+
 def analyze(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return docs.select(

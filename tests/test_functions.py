@@ -465,3 +465,98 @@ def test_ngram_contamination_values_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_hash_split_deterministic_and_plan(spark):
+    """hash_split: buckets equal an independent python md5 recomputation
+    (the portability claim), labels cover the weight ranges, and the plan
+    is a pure narrow projection — no Exchange at any scale."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(200)], "doc_id long, text string"
+    )
+    out = text.hash_split(df)
+    rows = {r["doc_id"]: (r["bucket"], r["split"]) for r in out.collect()}
+    for i in (0, 1, 2, 3):
+        want = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+        assert rows[i][0] == want
+    for _, (b, s) in rows.items():
+        assert s == ("train" if b < 98 else "valid" if b < 99 else "test")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_term_doc_freq_values(spark):
+    """Hand-checked df/tf on a 3-doc corpus; idf is the smoothed
+    ln((N+1)/(df+1)) + 1; blank docs contribute no tokens but do count
+    toward N."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "   ")], "doc_id long, text string"
+    )
+    got = {r["token"]: r for r in text.term_doc_freq(df).collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert (got["a"]["doc_freq"], got["a"]["term_freq"]) == (2, 3)
+    assert (got["b"]["doc_freq"], got["b"]["term_freq"]) == (1, 1)
+    assert got["a"]["idf"] == round(math.log(4 / 3) + 1, 6)
+
+
+def test_line_dedup_boilerplate_removal(spark):
+    """Lines repeated (normalized) across >= 2 docs vanish everywhere;
+    survivors keep original order; an all-boilerplate doc returns an
+    EMPTY row, not a missing one; the boilerplate side broadcasts."""
+    df = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nreal content one\nfooter text"),
+            (2, "cookie banner\nreal content two\nFooter Text"),
+            (3, "  cookie banner  "),
+            (4, "unique document"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.line_dedup(df, min_doc_freq=2)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["text"] == "real content one"
+    assert rows[2]["text"] == "real content two"
+    assert rows[3]["text"] == "" and rows[3]["n_removed"] == 1
+    assert rows[4]["text"] == "unique document" and rows[4]["n_removed"] == 0
+    assert rows[1]["n_lines"] == 3 and rows[1]["n_removed"] == 2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_line_dedup_preserves_order(spark):
+    """Reassembly must restore original line order even when collect_list
+    arrives shuffled — pinned via a doc whose lines sort differently by
+    content than by position."""
+    body = "z last alphabetically\nmiddle line\nanother unique line"
+    df = spark.createDataFrame(
+        [(1, body), (2, "no shared lines here")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["text"] for r in text.line_dedup(df).collect()}
+    assert out[1] == body
+
+
+def test_redact_pii(spark):
+    """Each PII class redacts to its typed token; counts audit the
+    ORIGINAL text; version strings (two dots) never match the IPv4
+    pattern; the plan is projection-only."""
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "call 555-123-4567 or 555.123.4567"),
+            (3, "host 192.168.0.1 running v1.2.3"),
+            (4, "clean text with no identifiers"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.redact_pii(df).collect()}
+    assert out[1]["text"] == "mail <EMAIL> now" and out[1]["n_emails"] == 1
+    assert out[2]["text"] == "call <PHONE> or <PHONE>" and out[2]["n_phones"] == 2
+    assert out[3]["text"] == "host <IP> running v1.2.3" and out[3]["n_ips"] == 1
+    assert out[4]["text"] == "clean text with no identifiers"
+    assert (out[4]["n_emails"], out[4]["n_phones"], out[4]["n_ips"]) == (0, 0, 0)
+    plan = text.redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
