@@ -369,6 +369,57 @@ def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     return redact_pii(seeded)
 
 
+# Deterministic 60-bit perceptual-hash stand-in for the phash near-dup
+# gate: docs pair up as (2k, 2k+1); the odd member's hash differs from the
+# even's md5-derived base by exactly k%6 flipped bits (bit positions
+# (k + 7j) % 60, distinct for j < 6), so pairs span hamming 0..5 — below,
+# at, and above the max_hamming=3 verify threshold — and the 16-bit bands
+# get genuine cross-group birthday collisions that verify must reject.
+# 15 hex chars (60 bits) keeps the value positive in a signed int64 so
+# Spark's cast and DuckDB's '>>' behave identically.
+_PHASH_BASE_SPARK = (
+    "cast(conv(substring(md5(cast(div(doc_id, 2) as string)), 1, 15), 16, 10)"
+    " as bigint)"
+)
+_PHASH_MASK_SPARK = " + ".join(
+    f"if(doc_id % 2 = 1 and {j} < div(doc_id, 2) % 6,"
+    f" shiftleft(cast(1 as bigint), cast((div(doc_id, 2) + {7 * j}) % 60 as int)),"
+    f" cast(0 as bigint))"
+    for j in range(6)
+)
+_PHASH_SPARK = f"({_PHASH_BASE_SPARK}) ^ ({_PHASH_MASK_SPARK})"
+
+_PHASH_BASE_DUCK = (
+    "CAST(('0x' || substr(md5(CAST((doc_id // 2) AS VARCHAR)), 1, 15))"
+    " AS BIGINT)"
+)
+_PHASH_MASK_DUCK = " + ".join(
+    f"CASE WHEN doc_id % 2 = 1 AND {j} < (doc_id // 2) % 6"
+    f" THEN ((1::BIGINT) << CAST(((doc_id // 2) + {7 * j}) % 60 AS INT))"
+    f" ELSE 0::BIGINT END"
+    for j in range(6)
+)
+_PHASH_DUCK = f"xor({_PHASH_BASE_DUCK}, ({_PHASH_MASK_DUCK}))"
+
+
+def q_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Image near-dup pairs by perceptual hash (the BASELINE input_hint's
+    ``phash:int64`` column): the generic 64-bit banding operator
+    (functions/dedup.py hash64_neardup_pairs) over a deterministic
+    synthetic phash whose planted pairs span hamming 0..5. Oracle
+    recomputes the hash AND the band/bucket-cap/bit_count pipeline
+    relationally — no golden file. Scale claim under test: the image
+    ``bytes`` column is never read (columnar pruning), and candidates are
+    band-bucketed, never all-pairs."""
+    from colly_spark.functions.dedup import phash_neardup_pairs
+
+    d = _read(spark, sf, "documents")
+    imgs = d.select(
+        F.col("doc_id").alias("image_id"), F.expr(_PHASH_SPARK).alias("phash")
+    )
+    return phash_neardup_pairs(imgs)
+
+
 def q_ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     from colly_spark.functions.similarity import brute_force_topk
 
@@ -674,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_term_df": q_term_df,
         "q_line_dedup": q_line_dedup,
         "q_pii_redact": q_pii_redact,
+        "q_phash_neardup": q_phash_neardup,
         "q_ann_bruteforce": q_ann_bruteforce,
         "q_ann_ivf": q_ann_ivf,
         "q_embedding_neardup": q_embedding_neardup,
@@ -919,6 +971,31 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b'))
                        AS n_ips
             FROM seeded
+        """,
+        "q_phash_neardup": f"""
+            WITH imgs AS (
+              SELECT doc_id AS image_id, {_PHASH_DUCK} AS phash FROM documents
+            ),
+            bands AS (
+              SELECT image_id, b.band, (phash >> (b.band * 16)) & 65535 AS key
+              FROM imgs, (SELECT UNNEST([0, 1, 2, 3]) AS band) b
+            ),
+            keep AS (
+              SELECT band, key FROM bands GROUP BY band, key
+              HAVING COUNT(*) <= 256
+            ),
+            cand AS (
+              SELECT DISTINCT l.image_id AS a, r.image_id AS b
+              FROM bands l
+              JOIN keep USING (band, key)
+              JOIN bands r USING (band, key)
+              WHERE l.image_id < r.image_id
+            )
+            SELECT c.a, c.b, bit_count(xor(pa.phash, pb.phash)) AS hamming
+            FROM cand c
+            JOIN imgs pa ON pa.image_id = c.a
+            JOIN imgs pb ON pb.image_id = c.b
+            WHERE bit_count(xor(pa.phash, pb.phash)) <= 3
         """,
         "q_ann_bruteforce": """
             SELECT query_id, neighbor_id, rank FROM (

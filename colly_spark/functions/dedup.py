@@ -348,37 +348,47 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return hashed.select("doc_id", _pack_majority("__hs").alias("simhash"))
 
 
-def simhash_neardup_pairs(
-    docs: DataFrame,
-    text_col: str = "text",
+def hash64_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "hash64",
     max_hamming: int = 3,
     bands: int = 4,
     max_bucket_size: int = 256,
+    checkpoint: bool = True,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit signature into ``bands``
-    equal bit-slices; docs sharing any slice are candidates (pigeonhole: a
-    pair within hamming distance ``bands - 1`` shares at least one exact
-    band, so ``max_hamming <= bands - 1`` has no false negatives); verify
-    with ``bit_count(a XOR b) <= max_hamming``. Linear bucket shuffle, same
-    mega-bucket cap as MinHash-LSH."""
+    """Near-dup pairs over ANY 64-bit similarity hash column (SimHash
+    signatures, image perceptual hashes, audio fingerprints): band the
+    hash into ``bands`` equal bit-slices; rows sharing any slice are
+    candidates (pigeonhole: a pair within hamming distance ``bands - 1``
+    shares at least one exact band, so ``max_hamming <= bands - 1`` has no
+    false negatives); verify with ``bit_count(a XOR b) <= max_hamming``.
+    Linear bucket shuffle, same mega-bucket cap as MinHash-LSH. Returns
+    (a, b, hamming) with a < b.
+
+    ``checkpoint`` bounds lineage and avoids recomputing an expensive
+    upstream (e.g. a mapInPandas signature kernel) across the three uses;
+    pass False when the hash column is a cheap expression."""
     width = 64 // bands
     mask = (1 << width) - 1
-    # eager localCheckpoint (not persist) — same no-leak rationale as
-    # minhash_lsh_pairs above
-    sigs = simhash64(docs, text_col).localCheckpoint(eager=True)
+    sigs = df.select(id_col, hash_col)
+    if checkpoint:
+        # eager localCheckpoint (not persist) — same no-leak rationale as
+        # minhash_lsh_pairs above
+        sigs = sigs.localCheckpoint(eager=True)
     banded = sigs.select(
-        "doc_id",
+        id_col,
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.shiftrightunsigned("simhash", b * width)
+                    F.shiftrightunsigned(hash_col, b * width)
                     .bitwiseAND(F.lit(mask)).alias("key"),
                 )
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.key")
+    ).select(id_col, "bb.band", "bb.key")
     if max_bucket_size:
         # same fused window-cap shape as minhash_lsh_pairs (zero extra
         # exchanges: the count window shares the self-join's partitioning)
@@ -395,18 +405,57 @@ def simhash_neardup_pairs(
             banded.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .select(
+            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+        )
         .dropDuplicates(["a", "b"])
     )
-    sa = sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sim_a"))
-    sb = sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sim_b"))
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    sa = sigs.select(F.col(id_col).alias("a"), F.col(hash_col).alias("h_a"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col(hash_col).alias("h_b"))
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (
         cand.join(sa, "a").join(sb, "b")
         .select("a", "b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def phash_neardup_pairs(
+    images: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Image near-dup pairs over the perceptual-hash column of the
+    Iceberg-shaped image+caption table (BASELINE input_hint:
+    ``phash:int64``) — re-encodes, crops, and brightness shifts leave
+    phash within a small hamming ball, so banding it finds visual
+    duplicates without ever touching ``bytes``. The scan reads exactly
+    (id, phash): at 100 TB the image payload column stays untouched
+    (columnar pruning), and the shuffle is the skinny banded key."""
+    return hash64_neardup_pairs(
+        images, id_col, phash_col, max_hamming, bands, max_bucket_size,
+        checkpoint=False,
+    )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """SimHash near-dup pairs: :func:`simhash64` signatures through the
+    generic :func:`hash64_neardup_pairs` banding (checkpointed — the
+    signature kernel is a mapInPandas pass worth computing once)."""
+    return hash64_neardup_pairs(
+        simhash64(docs, text_col), "doc_id", "simhash",
+        max_hamming, bands, max_bucket_size, checkpoint=True,
     )
 
 

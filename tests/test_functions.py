@@ -560,3 +560,61 @@ def test_redact_pii(spark):
     assert (out[4]["n_emails"], out[4]["n_phones"], out[4]["n_ips"]) == (0, 0, 0)
     plan = text.redact_pii(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_hash64_neardup_pairs_generic(spark):
+    """The generic 64-bit banding operator: planted pairs at hamming
+    0/2/3 survive, a hamming-4 pair sharing a band is candidate-generated
+    but verify-filtered, and string ids work (image_id use case)."""
+    from colly_spark.functions.dedup import hash64_neardup_pairs
+
+    base = 0x0123456789ABCDEF
+    rows = [
+        ("img-a", base),
+        ("img-b", base),                      # hamming 0
+        ("img-c", base ^ 0b11),               # hamming 2 (band 0 differs only)
+        ("img-d", base ^ 0b111),              # hamming 3
+        ("img-e", base ^ 0b1111),             # hamming 4: shares bands 1-3 -> candidate, filtered
+        ("img-z", ~base & 0x7FFFFFFFFFFFFFFF),  # far away, no shared band
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in hash64_neardup_pairs(
+            df, "image_id", "phash", checkpoint=False
+        ).collect()
+    }
+    assert got[("img-a", "img-b")] == 0
+    assert got[("img-a", "img-c")] == 2 and got[("img-b", "img-c")] == 2
+    assert got[("img-a", "img-d")] == 3
+    assert got[("img-c", "img-d")] == 1
+    # e is hamming 4 from a/b (candidate via shared upper bands, verify
+    # filters it) but hamming 1/2 from d/c — those pairs are real
+    assert ("img-a", "img-e") not in got and ("img-b", "img-e") not in got
+    assert got[("img-d", "img-e")] == 1 and got[("img-c", "img-e")] == 2
+    assert not any("img-z" in k for k in got)
+
+
+def test_phash_neardup_prunes_bytes_column(spark):
+    """phash_neardup_pairs over the full Iceberg-shaped image table must
+    never read the image payload: the scan's ReadSchema prunes to
+    (image_id, phash) — the 100-TB property the operator claims."""
+    import tempfile
+
+    from colly_spark.functions.dedup import phash_neardup_pairs
+
+    df = spark.createDataFrame(
+        [("i1", bytearray(b"\x89PNG..."), 4, 4, "png", "cap", 7),
+         ("i2", bytearray(b"\x89PNG..."), 4, 4, "png", "cap", 7)],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(td + "/imgs")
+        images = spark.read.parquet(td + "/imgs")
+        out = phash_neardup_pairs(images)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "bytes" not in plan, plan
+        assert [(r["a"], r["b"], r["hamming"]) for r in out.collect()] == [
+            ("i1", "i2", 0)
+        ]
