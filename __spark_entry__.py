@@ -369,6 +369,37 @@ def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     return redact_pii(seeded)
 
 
+def q_pipeline_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """The canonical training-data cleaning pipeline as ONE declarative
+    plan — quality filter -> language filter -> exact first-wins dedup ->
+    deterministic hash split -> per-split corpus stats — composing four
+    SURVEY 2.1 operators so Catalyst fuses the filters into the scan and
+    the whole chain costs two shuffles (dedup groupBy + final rollup).
+    Oracle reproduces every stage relationally."""
+    from colly_spark.functions.text import (fingerprint, hash_split, lang_id,
+                                            quality_score, token_count)
+
+    d = _read(spark, sf, "documents")
+    scored = (
+        d.withColumn("fp", fingerprint(F.col("text")))
+        .withColumn("n_tok", token_count(F.col("text")))
+        .filter(
+            (quality_score(F.col("text")) >= 0.9)
+            & (lang_id(F.col("text")) == "en")
+        )
+    )
+    keep = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    surv = scored.join(keep, ["fp", "doc_id"])
+    return (
+        hash_split(surv)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
 # Deterministic 60-bit perceptual-hash stand-in for the phash near-dup
 # gate: docs pair up as (2k, 2k+1); the odd member's hash differs from the
 # even's md5-derived base by exactly k%6 flipped bits (bit positions
@@ -725,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_term_df": q_term_df,
         "q_line_dedup": q_line_dedup,
         "q_pii_redact": q_pii_redact,
+        "q_pipeline_clean": q_pipeline_clean,
         "q_phash_neardup": q_phash_neardup,
         "q_ann_bruteforce": q_ann_bruteforce,
         "q_ann_ivf": q_ann_ivf,
@@ -971,6 +1003,47 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b'))
                        AS n_ips
             FROM seeded
+        """,
+        "q_pipeline_clean": f"""
+            WITH feats AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                          END AS n_tok,
+                     (length(text)
+                        - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                        / GREATEST(length(text), 1)::DOUBLE AS punct,
+                     len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           w -> list_contains({STOPWORDS_SQL}, w)))
+                        / GREATEST(len(regexp_split_to_array(trim(text), '\\s+')),
+                                   1)::DOUBLE AS sw,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                         AS fp
+              FROM documents
+            ),
+            scored AS (
+              SELECT * FROM feats
+              WHERE ((CASE WHEN n_tok BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.3 END
+                    + CASE WHEN punct < 0.2 THEN 1.0 ELSE 0.5 END
+                    + CASE WHEN sw > 0.05 THEN 1.0 ELSE 0.4 END) / 3.0) >= 0.9
+                AND sw > 0.02
+            ),
+            keep AS (SELECT fp, MIN(doc_id) AS doc_id FROM scored GROUP BY fp),
+            surv AS (
+              SELECT s.doc_id, s.n_tok FROM scored s
+              JOIN keep k ON s.fp = k.fp AND s.doc_id = k.doc_id
+            ),
+            labeled AS (
+              SELECT CASE WHEN b < 98 THEN 'train'
+                          WHEN b < 99 THEN 'valid'
+                          ELSE 'test' END AS split, n_tok
+              FROM (SELECT n_tok,
+                           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                AS UBIGINT) % 100 AS b
+                    FROM surv) t
+            )
+            SELECT split, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+            FROM labeled GROUP BY split
         """,
         "q_phash_neardup": f"""
             WITH imgs AS (

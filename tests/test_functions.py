@@ -618,3 +618,21 @@ def test_phash_neardup_prunes_bytes_column(spark):
         assert [(r["a"], r["b"], r["hamming"]) for r in out.collect()] == [
             ("i1", "i2", 0)
         ]
+
+
+def test_pipeline_clean_two_shuffles(spark):
+    """The composed clean pipeline (quality -> lang -> dedup -> split ->
+    rollup) must cost exactly TWO data shuffles — the dedup groupBy and
+    the final split rollup; the keeper join broadcasts. Catalyst fusing
+    the three filters into the scan is what the composition claims."""
+    import re
+
+    import __spark_entry__ as entry
+
+    df = entry.q_pipeline_clean(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_ex = len(re.findall(r"Exchange (hash|range|Single)", plan))
+    assert n_ex == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    rows = {r["split"]: r["n_docs"] for r in df.collect()}
+    assert sum(rows.values()) > 0
