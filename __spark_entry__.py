@@ -369,6 +369,17 @@ def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     return redact_pii(seeded)
 
 
+def q_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style within-document repetition/shape signals (duplicate
+    3-gram fraction, mean word length, symbol ratio) — zero-shuffle JVM
+    array arithmetic; oracle recomputes the same list pipeline with DuckDB
+    lambdas."""
+    from colly_spark.functions.text import repetition_signals
+
+    d = _read(spark, sf, "documents")
+    return repetition_signals(d)
+
+
 def q_pipeline_clean(spark: SparkSession, sf: str) -> DataFrame:
     """The canonical training-data cleaning pipeline as ONE declarative
     plan — quality filter -> language filter -> exact first-wins dedup ->
@@ -756,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_term_df": q_term_df,
         "q_line_dedup": q_line_dedup,
         "q_pii_redact": q_pii_redact,
+        "q_repetition_signals": q_repetition_signals,
         "q_pipeline_clean": q_pipeline_clean,
         "q_phash_neardup": q_phash_neardup,
         "q_ann_bruteforce": q_ann_bruteforce,
@@ -1003,6 +1015,35 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b'))
                        AS n_ips
             FROM seeded
+        """,
+        "q_repetition_signals": r"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                          END AS ws
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, text, ws,
+                     CASE WHEN len(ws) >= 3
+                          THEN list_transform(range(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                          ELSE []::VARCHAR[] END AS grams
+              FROM w
+            )
+            SELECT doc_id,
+                   ROUND(CASE WHEN len(grams) > 0
+                              THEN 1.0 - len(list_distinct(grams))::DOUBLE
+                                         / len(grams)
+                              ELSE 0.0 END, 6) AS frac_dup_3grams,
+                   ROUND(CASE WHEN len(ws) > 0
+                              THEN list_sum(list_transform(ws, x -> length(x)))::DOUBLE
+                                   / len(ws)
+                              ELSE 0.0 END, 6) AS mean_word_len,
+                   ROUND(len(regexp_extract_all(text, '#|\.\.\.'))::DOUBLE
+                         / GREATEST(len(ws), 1), 6) AS symbol_word_ratio
+            FROM g
         """,
         "q_pipeline_clean": f"""
             WITH feats AS (

@@ -281,6 +281,49 @@ def line_dedup(
     )
 
 
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition / shape signals (Rae et al.
+    2021 §A1.1's filter family): fraction of duplicate word-3-grams (high on
+    keyword-stuffed or looping generated text), mean word length, and
+    symbol-to-word ratio ('#' and ellipsis). Everything is per-row JVM
+    array arithmetic — zero shuffles, zero Python, survives any scale-up
+    as a pure projection.
+
+    frac_dup_3grams is 0.0 for docs with fewer than 3 words (no grams
+    exist); mean_word_len divides by the real word count (>= 1 after the
+    blank-doc guard).
+    """
+    t = F.col(text_col)
+    w = F.when(F.length(F.trim(t)) == 0, F.array()).otherwise(words(t))
+    n = F.size(w)
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams)
+    frac_dup = F.when(
+        n_grams > 0,
+        1.0 - F.size(F.array_distinct(grams)) / n_grams.cast("double"),
+    ).otherwise(F.lit(0.0))
+    total_chars = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_word_len = F.when(
+        n > 0, total_chars / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_symbols = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\."), 0))
+    sym_ratio = (n_symbols / F.greatest(n, F.lit(1)).cast("double"))
+    return docs.select(
+        "doc_id",
+        F.round(frac_dup, 6).alias("frac_dup_3grams"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_word_ratio"),
+    )
+
+
 # PII patterns chosen inside the Java-regex / RE2 common subset (no
 # lookarounds, no backrefs) so the DuckDB oracle runs them verbatim.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -636,3 +636,26 @@ def test_pipeline_clean_two_shuffles(spark):
     assert "BroadcastHashJoin" in plan, plan
     rows = {r["split"]: r["n_docs"] for r in df.collect()}
     assert sum(rows.values()) > 0
+
+
+def test_repetition_signals(spark):
+    """Hand-checked Gopher repetition signals: 'a b a b a b' has 4
+    3-grams, 2 distinct -> frac 0.5; short and blank docs get 0.0; mean
+    word length and symbol ratio pinned; plan is projection-only."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),
+            (2, "one two"),
+            (3, "   "),
+            (4, "see ... more ... dots #tag"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.repetition_signals(df).collect()}
+    assert out[1]["frac_dup_3grams"] == 0.5
+    assert out[1]["mean_word_len"] == 1.0
+    assert out[2]["frac_dup_3grams"] == 0.0
+    assert out[3]["frac_dup_3grams"] == 0.0 and out[3]["mean_word_len"] == 0.0
+    assert out[4]["symbol_word_ratio"] == 0.5  # 3 symbols / 6 words
+    plan = text.repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
