@@ -369,6 +369,24 @@ def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     return redact_pii(seeded)
 
 
+def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-batch incremental exact dedup on the crawl's StateStore LSM
+    machinery (functions/incremental.py): batch 1 = even doc_ids, batch 2
+    = the whole corpus; each batch admits first-seen-ever fingerprints
+    only, committed as atomic resumable rounds. Oracle recomputes both
+    rounds relationally (batch 2 admits only fingerprints absent from
+    batch 1's admissions)."""
+    from colly_spark.functions.incremental import IncrementalDeduper
+
+    d = _read(spark, sf, "documents")
+    dd = IncrementalDeduper(spark, partitions=8, merge_every=1)
+    b1 = dd.dedupe_batch(d.filter(F.col("doc_id") % 2 == 0))
+    b2 = dd.dedupe_batch(d)
+    return b1.select(F.lit(1).alias("batch"), "doc_id").unionByName(
+        b2.select(F.lit(2).alias("batch"), "doc_id")
+    )
+
+
 def q_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style within-document repetition/shape signals (duplicate
     3-gram fraction, mean word length, symbol ratio) — zero-shuffle JVM
@@ -767,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_term_df": q_term_df,
         "q_line_dedup": q_line_dedup,
         "q_pii_redact": q_pii_redact,
+        "q_incremental_dedup": q_incremental_dedup,
         "q_repetition_signals": q_repetition_signals,
         "q_pipeline_clean": q_pipeline_clean,
         "q_phash_neardup": q_phash_neardup,
@@ -1015,6 +1034,24 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b'))
                        AS n_ips
             FROM seeded
+        """,
+        "q_incremental_dedup": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+              FROM documents
+            ),
+            b1 AS (
+              SELECT fp, MIN(doc_id) AS doc_id FROM f
+              WHERE doc_id % 2 = 0 GROUP BY fp
+            ),
+            b2 AS (
+              SELECT fp, MIN(doc_id) AS doc_id FROM f
+              WHERE fp NOT IN (SELECT fp FROM b1) GROUP BY fp
+            )
+            SELECT 1 AS batch, doc_id FROM b1
+            UNION ALL
+            SELECT 2 AS batch, doc_id FROM b2
         """,
         "q_repetition_signals": r"""
             WITH w AS (
