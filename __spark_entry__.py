@@ -1038,7 +1038,8 @@ def oracle_sql() -> dict[str, str]:
         "q_incremental_dedup": r"""
             WITH f AS (
               SELECT doc_id,
-                     md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+                     md5(regexp_replace(lower(trim(coalesce(text, ''))),
+                                        '\s+', ' ', 'g')) AS fp
               FROM documents
             ),
             b1 AS (
@@ -1046,8 +1047,9 @@ def oracle_sql() -> dict[str, str]:
               WHERE doc_id % 2 = 0 GROUP BY fp
             ),
             b2 AS (
-              SELECT fp, MIN(doc_id) AS doc_id FROM f
-              WHERE fp NOT IN (SELECT fp FROM b1) GROUP BY fp
+              SELECT fp, MIN(doc_id) AS doc_id FROM f f2
+              WHERE NOT EXISTS (SELECT 1 FROM b1 WHERE b1.fp = f2.fp)
+              GROUP BY fp
             )
             SELECT 1 AS batch, doc_id FROM b1
             UNION ALL
@@ -1055,8 +1057,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_repetition_signals": r"""
             WITH w AS (
-              SELECT doc_id, text,
-                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              SELECT doc_id, coalesce(text, '') AS text,
+                     CASE WHEN length(trim(coalesce(text, ''))) = 0
+                          THEN []::VARCHAR[]
                           ELSE regexp_split_to_array(trim(text), '\s+')
                           END AS ws
               FROM documents

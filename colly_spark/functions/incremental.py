@@ -31,19 +31,23 @@ class IncrementalDeduper:
     the full fingerprint history (committed rounds only — a crash mid
     batch replays that batch, never double-admits or loses history).
 
-    ``partitions`` sizes the base's hash-partitioning (match the cluster:
-    the 10^10 design point uses 4096); ``merge_every`` amortizes the
-    full-base compaction shuffle to one per N batches, exactly like
-    url_seen."""
+    ``partitions`` sizes the base's hash-partitioning and DEFAULTS to the
+    session's ``spark.sql.shuffle.partitions`` — the base is only
+    co-partition-joinable (no base-side exchange) when the two agree,
+    exactly as the engine aligns them for url_seen; override both
+    together (the 10^10 design point uses 4096). ``merge_every``
+    amortizes the full-base compaction shuffle to one per N batches."""
 
     def __init__(
         self,
         spark: SparkSession,
         checkpoint_dir: str | None = None,
-        partitions: int = 32,
+        partitions: int | None = None,
         merge_every: int = 4,
     ):
         self.spark = spark
+        if partitions is None:
+            partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
         self.store = make_state_store(
             spark,
             {"seen_fps": SEEN_FPS},
@@ -68,23 +72,22 @@ class IncrementalDeduper:
         fingerprints as one atomic round.
 
         Within the batch the lowest ``id_col`` wins per normalized-text
-        fingerprint (same first-wins rule as ``exact_dedup``); across
-        batches, anything whose fingerprint was admitted by ANY earlier
-        committed batch is dropped. Plan shape: one groupBy on the
-        fingerprint (skinny), anti-joins against base (co-partitioned, no
-        base-side exchange) and tail (broadcast-sized); the admitted rows
+        fingerprint (same first-wins rule as ``exact_dedup``; exactly ONE
+        row survives per fingerprint even if the batch carries literal
+        duplicate (id, text) rows — a window rank, not a keys join-back,
+        which would readmit every copy of the winning key). NULL text
+        fingerprints as empty text, so NULL docs dedup like any other
+        instead of slipping past the null-unsafe anti-join every batch.
+        Across batches, anything whose fingerprint was admitted by ANY
+        earlier committed batch is dropped. Plan shape: one window
+        shuffle on the fingerprint (skinny), anti-joins against base
+        (co-partitioned, no base-side exchange — plan-asserted via
+        :meth:`admit_plan`) and tail (broadcast-sized); the admitted rows
         are checkpointed ONCE and that same frame is both the staged
         delta and the return value."""
-        batch = docs.withColumn("__fp", fingerprint(F.col(text_col)))
-        keep = batch.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-        batch = batch.join(keep, ["__fp", id_col])
-        base, tail = self.store.get_parts("seen_fps")
-        for part in (base, tail):
-            if part is not None:
-                batch = batch.join(
-                    part.select(F.col("fp").alias("__fp")), "__fp", "left_anti"
-                )
-        fresh = batch.localCheckpoint(eager=True)
+        fresh = self.admit_plan(docs, text_col, id_col).localCheckpoint(
+            eager=True
+        )
         self.store.stage_append(
             "seen_fps", fresh.select(F.col("__fp").alias("fp")), self.round
         )
@@ -92,6 +95,35 @@ class IncrementalDeduper:
         self.store.commit_round(self.round, {"batches": self.round + 1})
         self.round += 1
         return fresh.drop("__fp")
+
+    def admit_plan(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """The lazy admission plan (everything :meth:`dedupe_batch` does
+        before its checkpoint/commit) — exposed so tests can assert the
+        EXECUTED plan of the real operator path (e.g. that the base side
+        of the anti-join never re-shuffles), not a hand-rebuilt copy."""
+        from pyspark.sql import Window
+
+        batch = docs.withColumn(
+            "__fp", fingerprint(F.coalesce(F.col(text_col), F.lit("")))
+        )
+        w = Window.partitionBy("__fp").orderBy(id_col)
+        batch = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        base, tail = self.store.get_parts("seen_fps")
+        for part in (base, tail):
+            if part is not None:
+                batch = batch.join(
+                    part.select(F.col("fp").alias("__fp")), "__fp", "left_anti"
+                )
+        return batch
 
     def seen_count(self) -> int:
         """Fingerprints admitted across all committed batches."""

@@ -291,9 +291,11 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     frac_dup_3grams is 0.0 for docs with fewer than 3 words (no grams
     exist); mean_word_len divides by the real word count (>= 1 after the
-    blank-doc guard).
+    blank-doc guard). NULL text is treated as empty (all three signals
+    0.0) — without the coalesce, Spark's size(NULL) = -1 would leak a
+    -1.0 symbol ratio that reads as "maximally clean" downstream.
     """
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     w = F.when(F.length(F.trim(t)) == 0, F.array()).otherwise(words(t))
     n = F.size(w)
     grams = F.when(

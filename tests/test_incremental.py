@@ -14,7 +14,7 @@ def test_incremental_dedup_across_batches(spark):
     """Batch 1 dedupes internally (first-wins by id, normalization
     collapses case/whitespace); batch 2 drops everything batch 1 already
     admitted and admits only genuinely new text."""
-    d = IncrementalDeduper(spark, partitions=4, merge_every=2)
+    d = IncrementalDeduper(spark, merge_every=2)
     b1 = d.dedupe_batch(
         _docs(spark, [(3, "alpha beta"), (1, "alpha   BETA"), (2, "gamma")])
     )
@@ -33,10 +33,10 @@ def test_incremental_dedup_resume(spark, tmp_path, backend):
     """A new process pointed at the same checkpoint dir resumes with the
     full committed fingerprint history, on both durable backends."""
     path = str(tmp_path / backend)
-    d1 = IncrementalDeduper(spark, checkpoint_dir=path, partitions=4)
+    d1 = IncrementalDeduper(spark, checkpoint_dir=path)
     d1.dedupe_batch(_docs(spark, [(1, "alpha"), (2, "beta")]))
     del d1
-    d2 = IncrementalDeduper(spark, checkpoint_dir=path, partitions=4)
+    d2 = IncrementalDeduper(spark, checkpoint_dir=path)
     assert d2.round == 1
     out = {
         r["doc_id"]
@@ -48,25 +48,53 @@ def test_incremental_dedup_resume(spark, tmp_path, backend):
     assert d2.seen_count() == 3
 
 
+def test_incremental_first_wins_with_literal_duplicates(spark):
+    """A batch carrying literal duplicate (id, text) rows still admits
+    exactly ONE row per fingerprint (window rank, not a keys join-back
+    that would readmit every copy of the winning key), and NULL text
+    dedups like empty text instead of slipping past the anti-join."""
+    d = IncrementalDeduper(spark)
+    b1 = d.dedupe_batch(
+        _docs(spark, [(1, "alpha"), (1, "alpha"), (2, "beta"), (3, None)])
+    )
+    rows = [(r["doc_id"], r["text"]) for r in b1.collect()]
+    assert sorted(rows) == [(1, "alpha"), (2, "beta"), (3, None)]
+    assert d.seen_count() == 3
+    # NULL text fingerprints as empty: a later empty-text doc is a dup
+    b2 = d.dedupe_batch(_docs(spark, [(9, ""), (10, "gamma")]))
+    assert {r["doc_id"] for r in b2.collect()} == {10}
+
+
 def test_incremental_probe_never_reshuffles_base(spark):
-    """After the tail folds into the base (merge_every=1), a new batch's
-    anti-join must re-shuffle ONLY the batch side: with broadcast off, the
-    final plan has exactly one Exchange — the url_seen scaling property,
-    inherited."""
-    d = IncrementalDeduper(spark, partitions=4, merge_every=1)
+    """After the tail folds into the base (merge_every=1), the OPERATOR'S
+    OWN admission plan (admit_plan — exactly what dedupe_batch
+    checkpoints) must re-shuffle NEITHER side: the probe arrives already
+    hash-partitioned on __fp from the first-wins window, the base's
+    partitioning survives its checkpoint, and (with broadcast off) the
+    anti-join adds ZERO Exchanges over the no-base plan — the whole
+    admission costs exactly one shuffle (the window) regardless of
+    accumulated corpus size."""
+    d = IncrementalDeduper(spark, merge_every=1)
     d.dedupe_batch(_docs(spark, [(i, f"doc number {i}") for i in range(200)]))
     base, tail = d.store.get_parts("seen_fps")
     assert base is not None and tail is None
     batch = _docs(spark, [(1000 + i, f"new doc {i}") for i in range(50)])
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        out = batch.withColumn(
-            "__fp",
-            F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")),
-        ).join(base.select(F.col("fp").alias("__fp")), "__fp", "left_anti")
+    empty = IncrementalDeduper(spark)  # no base, no tail
+
+    def final_plan(dd):
+        out = dd.admit_plan(batch)
         out.collect()
         plan = out._jdf.queryExecution().executedPlan().toString()
+        return plan.split("== Initial Plan ==")[0]
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        with_base = final_plan(d)
+        without_base = final_plan(empty)
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    final = plan.split("== Initial Plan ==")[0]
-    assert final.count("Exchange") == 1, f"base side re-shuffled:\n{final}"
+    assert "LeftAnti" in with_base, with_base
+    n_with, n_without = with_base.count("Exchange"), without_base.count("Exchange")
+    assert n_with == n_without == 1, (
+        f"extra shuffle appeared ({n_with} vs {n_without}):\n{with_base}"
+    )
