@@ -184,12 +184,13 @@ def _meta_prescan(body: bytes) -> str | None:
 
 
 def detect_charset(body: bytes) -> str:
-    """P0 DetectCharset stand-in (response.go:97-106 uses chardet; this
-    container has no chardet, so the x/net/html/charset precedence minus the
-    statistical tail: BOM sniff, WHATWG meta prescan (first 1024 bytes),
-    strict-UTF-8 probe, latin-1 fallback — deterministic and sufficient for
-    the fixture corpus; the statistical-detector gap is the documented
-    divergence)."""
+    """P0 DetectCharset (response.go:97-106): the x/net/html/charset
+    precedence — BOM sniff, WHATWG meta prescan (first 1024 bytes),
+    strict-UTF-8 probe — then the statistical tail (the reference's
+    chardet step), implemented from scratch in operators/charset.py:
+    structural strict-decode probes + home-script + frequent-character
+    scoring over CJK multibyte and Cyrillic/Greek/Hebrew/Arabic
+    single-byte candidates, windows-1252/latin-1 fallback."""
     if body[:3] == b"\xef\xbb\xbf":
         return "utf-8-sig"
     if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
@@ -201,7 +202,9 @@ def detect_charset(body: bytes) -> str:
         body.decode("utf-8")
         return "utf-8"
     except UnicodeDecodeError:
-        return "latin-1"
+        from .charset import detect_statistical
+
+        return detect_statistical(body)
 
 
 def body_text(decoded: bytes, ct: str | None, detect: bool = False) -> str:

@@ -428,7 +428,8 @@ def test_charset_decode():
     assert matches[0][6] == "café détour"
     # without charset + without detection: replacement chars
     assert "café" not in body_text(latin, "text/html")
-    # DetectCharset heuristic: invalid-UTF8 -> latin-1 fallback
+    # DetectCharset: invalid-UTF8 accented-Latin -> latin-1 family (the
+    # statistical tail must NOT misread sparse accents as Cyrillic)
     assert body_text(latin, "text/html", detect=True) == latin.decode("latin-1")
     # BOM detection
     assert body_text("ü".encode("utf-8-sig"), None, detect=True) == "ü"
@@ -444,8 +445,18 @@ def test_charset_decode():
     junk = b"<meta charset=not-a-codec><p>plain ascii</p>"
     assert "plain ascii" in body_text(junk, "text/html", detect=True)
     # the prescan window is 1024 bytes: a declaration past it is not seen
-    far = b"<!--" + b"x" * 1100 + b"--><meta charset=windows-1251>" + "мир".encode("windows-1251")
-    assert "мир" not in body_text(far, "text/html", detect=True)
+    # (pinned on detect_charset directly — the statistical tail now
+    # recovers raw Cyrillic regardless, which body_text would show)
+    from colly_spark.operators.parse import detect_charset
+
+    far = b"<!--" + b"x" * 1100 + b"--><meta charset=koi8-r><p>ascii</p>"
+    assert detect_charset(far) == "utf-8"
+    # ... and the statistical tail (chardet parity, response.go:97-106)
+    # recovers undeclared legacy encodings from the bytes alone:
+    ru = ("Мы все учились понемногу, чему-нибудь и как-нибудь. "
+          "Так воспитаньем, слава богу, у нас немудрено блеснуть.")
+    assert "Мы все" in body_text(ru.encode("windows-1251"), "text/html", detect=True)
+    assert "Мы все" in body_text(ru.encode("koi8-r"), "text/html", detect=True)
 
 
 def test_fast_path_equals_dom_path():
