@@ -304,6 +304,48 @@ def q_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     return hash_split(d).select("doc_id", "bucket", "split")
 
 
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-2/T5 pretraining layout):
+    per doc, its token interval in a deterministic per-shard stream and the
+    first/last 2048-token training sequences it touches. One shuffle (the
+    shard-key window); shard count scales with the cluster, order is
+    content-free (md5) so the layout is stable under corpus growth. Oracle
+    recomputes shard, order, and the running sum relationally in DuckDB."""
+    from colly_spark.functions.text import pack_sequences
+
+    d = _read(spark, sf, "documents")
+    return pack_sequences(d, capacity=2048, num_shards=64)
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-language subsampling by salted md5 bucket — the
+    leak-proof downsampling primitive (a doc's membership never changes as
+    the corpus grows). Zero-shuffle narrow filter; the rate table is a
+    folded CASE, so the filter reaches the scan. Oracle recomputes the
+    salted bucket with DuckDB's md5."""
+    from colly_spark.functions.text import stratified_sample
+
+    d = _read(spark, sf, "documents")
+    return stratified_sample(
+        d, "lang", {"en": 5000, "de": 2500, "zh": 10000}, default_bp=1000
+    ).select("doc_id", "lang", "sample_bucket")
+
+
+def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-mixture construction: per-language rates derived by exact
+    integer arithmetic from corpus counts and target proportions (scarcest
+    stratum caps the total), then salted-hash threshold sampling. The
+    corpus never shuffles — counts are stratum-sized and the rate table
+    rides broadcast joins. Oracle reproduces the integer derivation and
+    membership rule in DuckDB."""
+    from colly_spark.functions.text import mixture_sample
+
+    d = _read(spark, sf, "documents")
+    return mixture_sample(
+        d, "lang", {"en": 5000, "de": 2000, "es": 1500, "fr": 1000, "zh": 500}
+    ).select("doc_id", "lang", "sample_bucket")
+
+
 def q_term_df(spark: SparkSession, sf: str) -> DataFrame:
     """Vocabulary statistics (document frequency / term frequency /
     smoothed idf) — one token-key shuffle with partial aggregation; the
@@ -782,6 +824,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_hash_split": q_hash_split,
+        "q_pack_sequences": q_pack_sequences,
+        "q_stratified_sample": q_stratified_sample,
+        "q_mixture_sample": q_mixture_sample,
         "q_term_df": q_term_df,
         "q_line_dedup": q_line_dedup,
         "q_pii_redact": q_pii_redact,
@@ -959,6 +1004,69 @@ def oracle_sql() -> dict[str, str]:
                          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                               AS UBIGINT) % 100 AS bucket
                   FROM documents)
+        """,
+        "q_pack_sequences": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS UBIGINT) AS h,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                     END AS n_tokens
+              FROM documents
+            ), f AS (
+              SELECT doc_id, h % 64 AS shard, h AS sort_h, n_tokens
+              FROM d WHERE n_tokens > 0
+            ), c AS (
+              SELECT doc_id, shard, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY shard
+                                         ORDER BY sort_h, doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM f
+            )
+            SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+                   CAST(cum - n_tokens AS BIGINT) AS start_token,
+                   CAST((cum - n_tokens) // 2048 AS BIGINT) AS first_seq,
+                   CAST((cum - 1) // 2048 AS BIGINT) AS last_seq,
+                   CAST((cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1
+                        AS BIGINT) AS n_seqs
+            FROM c
+        """,
+        "q_stratified_sample": """
+            SELECT doc_id, lang, sample_bucket
+            FROM (SELECT doc_id, lang,
+                         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                  || ':sample'), 1, 8))
+                              AS UBIGINT) % 10000 AS sample_bucket
+                  FROM documents)
+            WHERE sample_bucket < CASE lang WHEN 'en' THEN 5000
+                                            WHEN 'de' THEN 2500
+                                            WHEN 'zh' THEN 10000
+                                            ELSE 1000 END
+        """,
+        "q_mixture_sample": """
+            WITH tgt(lang, target_bp) AS (
+              VALUES ('en', 5000), ('de', 2000), ('es', 1500),
+                     ('fr', 1000), ('zh', 500)
+            ), counts AS (
+              SELECT d.lang, COUNT(*) AS n, t.target_bp
+              FROM documents d JOIN tgt t ON d.lang = t.lang
+              GROUP BY d.lang, t.target_bp
+            ), tt AS (
+              SELECT MIN(n * 10000 // target_bp) AS t_total FROM counts
+            ), rates AS (
+              SELECT lang,
+                     (t_total * target_bp // 10000) * 10000 // n AS rate_bp
+              FROM counts, tt
+            )
+            SELECT d.doc_id, d.lang,
+                   CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                            || ':mix'), 1, 8))
+                        AS UBIGINT) % 10000 AS sample_bucket
+            FROM documents d JOIN rates r ON d.lang = r.lang
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                           || ':mix'), 1, 8))
+                       AS UBIGINT) % 10000 < r.rate_bp
         """,
         "q_term_df": r"""
             WITH toks AS (

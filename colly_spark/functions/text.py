@@ -362,6 +362,161 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _id_hash32(id_col: str, salt: str = "") -> Column:
+    """Content-free 32-bit id hash as a signed long: integer value of the
+    first 8 hex chars of md5(id [+ ':' salt]). md5 (not xxhash64) so any
+    engine — DuckDB, Trino, pandas — reproduces it bit-for-bit; 8 hex chars
+    fit a signed 64-bit int, so Spark's long and DuckDB's UBIGINT agree.
+    Shared by hash_split / stratified_sample / mixture_sample /
+    pack_sequences so one doc gets one consistent lottery number per salt.
+    """
+    keyed = F.col(id_col).cast("string")
+    if salt:
+        keyed = F.concat(keyed, F.lit(":" + salt))
+    return F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 2048,
+    num_shards: int = 64,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM-pretraining
+    layout: documents are concatenated in a deterministic order and the
+    token stream is cut every ``capacity`` tokens, so a doc may span
+    sequence boundaries. Emits, per document, the half-open token interval
+    it occupies in its shard's stream and the first/last training-sequence
+    indices that interval touches (``n_seqs`` > 1 means the doc is split
+    across sequences).
+
+    Parallelism unit is the **shard**: shard = id-hash % num_shards
+    (content-free, so a doc's shard never changes as the corpus grows),
+    and packing order within a shard is (id-hash, id) — deterministic and
+    engine-independent. At 100 TB, num_shards is set to O(cluster cores)
+    and each shard's running sum is a single window partition: exactly one
+    shuffle on the shard key, no driver state, no Python. Empty documents
+    (0 tokens) are dropped — they contribute nothing to a token stream.
+
+    Reference scope note: colly has no packing op; this belongs to the
+    training-data-pipeline family the brief adds on top of the reference's
+    own inventory (cf. GPT-2/T5-style "pack and chunk" preprocessing).
+    """
+    from pyspark.sql.window import Window
+
+    h = _id_hash32(id_col)
+    d = docs.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        (h % num_shards).alias("shard"),
+        h.alias("sort_h"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("sort_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cap = int(capacity)
+    # one window expression (cum), everything else derived by integer div —
+    # exact at any stream length, and the Window node stays single-agg
+    return d.withColumn("cum", F.sum("n_tokens").over(w)).select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (F.col("cum") - F.col("n_tokens")).alias("start_token"),
+        F.expr(f"(cum - n_tokens) div {cap}").alias("first_seq"),
+        F.expr(f"(cum - 1) div {cap}").alias("last_seq"),
+        F.expr(
+            f"(cum - 1) div {cap} - (cum - n_tokens) div {cap} + 1"
+        ).alias("n_seqs"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    rates_bp: dict[str, int],
+    default_bp: int = 0,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum subsampling: a doc is kept iff its salted
+    id-hash bucket (0..9999) is below its stratum's rate in basis points.
+    Like hash_split, membership is a pure function of (id, salt) — stable
+    under corpus growth, reproducible by any engine, and leak-proof (the
+    same salt never admits different subsets of the same doc set). Strata
+    absent from ``rates_bp`` get ``default_bp`` (0 = drop).
+
+    Narrow projection + filter: zero shuffles, zero Python; the rate table
+    is a literal CASE expression, not a join, so Catalyst folds it and the
+    filter reaches the scan.
+    """
+    bucket = _id_hash32(id_col, salt) % 10000
+    expr = None
+    for name, bp in rates_bp.items():
+        cond = F.col(strata_col) == name
+        expr = F.when(cond, bp) if expr is None else expr.when(cond, bp)
+    rate = expr.otherwise(default_bp) if expr is not None else F.lit(default_bp)
+    return docs.withColumn("sample_bucket", bucket).filter(
+        F.col("sample_bucket") < rate
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    strata_col: str,
+    target_bp: dict[str, int],
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Training-mixture construction: subsample each stratum (source,
+    language, ...) so the kept corpus approaches target proportions
+    ``target_bp`` (basis points, summing to <= 10000), scaled to the
+    largest total the scarcest stratum allows. All derivation is integer
+    floor arithmetic so Spark and any oracle engine agree exactly:
+
+        T        = min over strata of  count_s * 10000 // target_bp_s
+        want_s   = T * target_bp_s // 10000
+        rate_bp_s = want_s * 10000 // count_s
+
+    then a doc is kept iff salted-hash bucket < rate_bp_s (deterministic,
+    approximate-count threshold sampling — the kept count per stratum is
+    binomially close to want_s, and membership is stable under growth).
+
+    Two passes, both scale-safe: a count aggregation whose output is
+    stratum-sized (tiny), a 1-row global min broadcast onto it, and the
+    rate table broadcast-joined back onto the corpus — the big side never
+    shuffles. Strata outside ``target_bp`` are dropped.
+    """
+    from pyspark.sql.functions import broadcast
+
+    tgt = docs.sparkSession.createDataFrame(
+        list(target_bp.items()), f"{strata_col} string, target_bp long"
+    )
+    counts = (
+        docs.groupBy(strata_col).count()
+        .join(broadcast(tgt), strata_col)
+        .withColumn("max_total", F.expr("`count` * 10000 div target_bp"))
+    )
+    t_row = counts.agg(F.min("max_total").alias("t_total"))
+    rates = (
+        counts.crossJoin(broadcast(t_row))
+        .select(
+            strata_col,
+            F.expr("(t_total * target_bp div 10000) * 10000 div `count`")
+            .alias("rate_bp"),
+        )
+    )
+    bucket = _id_hash32(id_col, salt) % 10000
+    return (
+        docs.withColumn("sample_bucket", bucket)
+        .join(broadcast(rates), strata_col)
+        .filter(F.col("sample_bucket") < F.col("rate_bp"))
+        .drop("rate_bp")
+    )
+
+
 def analyze(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return docs.select(

@@ -659,3 +659,94 @@ def test_repetition_signals(spark):
     assert out[4]["symbol_word_ratio"] == 0.5  # 3 symbols / 6 words
     plan = text.repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def _h32(i, salt=""):
+    import hashlib
+
+    key = str(i) + (":" + salt if salt else "")
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+
+
+def test_pack_sequences_values_and_plan(spark):
+    """pack_sequences: intervals equal an independent python concat-and-
+    chunk recomputation (md5 shard + (hash, id) order + running sum);
+    empty docs are dropped; a doc longer than capacity spans sequences
+    (n_seqs > 1); the plan carries exactly one Exchange — the shard-key
+    window shuffle — and nothing else."""
+    docs = [(i, " ".join(["w"] * n)) for i, n in enumerate(
+        [3, 5, 2, 9, 4, 0, 7, 1, 6, 30])]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = text.pack_sequences(df, capacity=8, num_shards=2)
+    rows = {r["doc_id"]: r for r in out.collect()}
+
+    # independent recomputation
+    packed = {}
+    for shard in (0, 1):
+        members = sorted(
+            [(_h32(i), i, n) for i, (_, t) in enumerate(docs)
+             if (n := len(t.split())) > 0 and _h32(i) % 2 == shard]
+        )
+        cum = 0
+        for h, i, n in members:
+            start = cum
+            cum += n
+            packed[i] = (shard, n, start, start // 8, (cum - 1) // 8)
+
+    assert set(rows) == set(packed)
+    for i, (shard, n, start, first, last) in packed.items():
+        r = rows[i]
+        assert (r["shard"], r["n_tokens"], r["start_token"]) == (shard, n, start)
+        assert (r["first_seq"], r["last_seq"]) == (first, last)
+        assert r["n_seqs"] == last - first + 1
+    assert rows[9]["n_seqs"] > 1  # the 30-token doc spans 8-token sequences
+    assert 5 not in rows  # empty doc dropped
+
+    final = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("Exchange") == 1, final
+
+
+def test_stratified_sample_deterministic_and_plan(spark):
+    """stratified_sample: membership equals the salted md5-bucket rule
+    recomputed in python; unknown strata use default_bp; zero-shuffle."""
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(300)],
+        "doc_id long, lang string",
+    )
+    out = text.stratified_sample(df, "lang", {"en": 5000, "fr": 100}, default_bp=0)
+    kept = {r["doc_id"] for r in out.collect()}
+    want = {
+        i for i in range(300)
+        if (i % 3 and _h32(i, "sample") % 10000 < 5000)
+    }
+    assert kept == want
+    assert 0 < len(kept) < 200  # ~half of the 200 'en' docs
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_mixture_sample_rates_and_plan(spark):
+    """mixture_sample: the integer rate derivation matches the documented
+    formula (scarce stratum caps the total; rates floor-derived), the kept
+    set equals the python recomputation, and the big side never shuffles —
+    rates ride broadcast joins."""
+    rows = [(i, "web") for i in range(400)] + \
+           [(400 + i, "books") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # targets: web 70%, books 30%. books is scarce: T = 100*10000//3000 = 333
+    # want_web = 333*7000//10000 = 233 -> rate 233*10000//400 = 5825 bp
+    # want_books = 333*3000//10000 = 99 -> rate 99*10000//100 = 9900 bp
+    out = text.mixture_sample(df, "source", {"web": 7000, "books": 3000})
+    kept = {r["doc_id"] for r in out.collect()}
+    want = set()
+    for i, src in rows:
+        rate = 5825 if src == "web" else 9900
+        if _h32(i, "mix") % 10000 < rate:
+            want.add(i)
+    assert kept == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
