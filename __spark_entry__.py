@@ -522,6 +522,46 @@ def q_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return phash_neardup_pairs(imgs)
 
 
+def q_image_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """The image+caption curation pipeline (the graft cell's payload) as
+    ONE declarative plan over the Iceberg-shaped table (image_id, caption,
+    phash): caption language + length gates -> exact caption dedup
+    (first-wins on the normalized-caption fingerprint) -> visual near-dup
+    drop (phash banding pairs; the higher id of each pair loses) ->
+    deterministic split assignment. Emits per-image (image_id, split,
+    n_tok) so membership — not just counts — is oracle-checked. The
+    ``bytes`` column is never read; filters fold into the scan; the only
+    shuffles are the two dedup keys (caption fingerprint, phash band).
+    Reference scope: colly's OnResponse image handling feeds exactly this
+    kind of downstream curation (README.md:21); the pipeline composition
+    itself is the training-data family the brief adds."""
+    from colly_spark.functions.dedup import phash_neardup_pairs
+    from colly_spark.functions.text import (fingerprint, hash_split, lang_id,
+                                            token_count)
+
+    d = _read(spark, sf, "documents")
+    imgs = d.select(
+        F.col("doc_id").alias("image_id"),
+        F.col("text").alias("caption"),
+        F.expr(_PHASH_SPARK).alias("phash"),
+    )
+    gated = imgs.filter(
+        (lang_id(F.col("caption")) == "en")
+        & (token_count(F.col("caption")) >= 30)
+    ).withColumn("cfp", fingerprint(F.col("caption")))
+    keep = gated.groupBy("cfp").agg(F.min("image_id").alias("image_id"))
+    surv = gated.join(keep, ["cfp", "image_id"]).drop("cfp")
+    losers = (
+        phash_neardup_pairs(surv)
+        .select(F.col("b").alias("image_id"))
+        .distinct()
+    )
+    final = surv.join(losers, "image_id", "left_anti")
+    return hash_split(final, id_col="image_id").select(
+        "image_id", "split", token_count(F.col("caption")).alias("n_tok")
+    )
+
+
 def q_ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     from colly_spark.functions.similarity import brute_force_topk
 
@@ -834,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_signals": q_repetition_signals,
         "q_pipeline_clean": q_pipeline_clean,
         "q_phash_neardup": q_phash_neardup,
+        "q_image_curation": q_image_curation,
         "q_ann_bruteforce": q_ann_bruteforce,
         "q_ann_ivf": q_ann_ivf,
         "q_embedding_neardup": q_embedding_neardup,
@@ -1258,6 +1299,62 @@ def oracle_sql() -> dict[str, str]:
             JOIN imgs pa ON pa.image_id = c.a
             JOIN imgs pb ON pb.image_id = c.b
             WHERE bit_count(xor(pa.phash, pb.phash)) <= 3
+        """,
+        "q_image_curation": f"""
+            WITH imgs AS (
+              SELECT doc_id AS image_id, text AS caption,
+                     {_PHASH_DUCK} AS phash
+              FROM documents
+            ), gated AS (
+              SELECT image_id, caption, phash,
+                     md5(regexp_replace(lower(trim(caption)), '\\s+', ' ', 'g'))
+                       AS cfp,
+                     CASE WHEN length(trim(caption)) = 0 THEN 0
+                          ELSE length(regexp_split_to_array(trim(caption), '\\s+'))
+                     END AS n_tok
+              FROM imgs
+              WHERE len(list_filter(regexp_split_to_array(trim(caption), '\\s+'),
+                        w -> list_contains(['the','a','an','and','or','of','to',
+                                            'in','is','are','was','were','be',
+                                            'been','it','this','that','for',
+                                            'on','as'], w)))
+                      / GREATEST(len(regexp_split_to_array(trim(caption), '\\s+')),
+                                 1)::DOUBLE > 0.02
+                AND (CASE WHEN length(trim(caption)) = 0 THEN 0
+                          ELSE length(regexp_split_to_array(trim(caption), '\\s+'))
+                     END) >= 30
+            ), keepcap AS (
+              SELECT cfp, MIN(image_id) AS image_id FROM gated GROUP BY cfp
+            ), surv AS (
+              SELECT g.image_id, g.caption, g.phash, g.n_tok
+              FROM gated g JOIN keepcap k
+                ON g.cfp = k.cfp AND g.image_id = k.image_id
+            ), bands AS (
+              SELECT image_id, b.band, (phash >> (b.band * 16)) & 65535 AS key
+              FROM surv, (SELECT UNNEST([0, 1, 2, 3]) AS band) b
+            ), keepb AS (
+              SELECT band, key FROM bands GROUP BY band, key
+              HAVING COUNT(*) <= 256
+            ), losers AS (
+              SELECT DISTINCT r.image_id
+              FROM bands l
+              JOIN keepb USING (band, key)
+              JOIN bands r USING (band, key)
+              JOIN surv pa ON pa.image_id = l.image_id
+              JOIN surv pb ON pb.image_id = r.image_id
+              WHERE l.image_id < r.image_id
+                AND bit_count(xor(pa.phash, pb.phash)) <= 3
+            )
+            SELECT image_id,
+                   CASE WHEN bucket < 98 THEN 'train'
+                        WHEN bucket < 99 THEN 'valid'
+                        ELSE 'test' END AS split,
+                   n_tok
+            FROM (SELECT s.image_id, s.n_tok,
+                         CAST(('0x' || substr(md5(CAST(s.image_id AS VARCHAR)),
+                                              1, 8)) AS UBIGINT) % 100 AS bucket
+                  FROM surv s
+                  WHERE s.image_id NOT IN (SELECT image_id FROM losers))
         """,
         "q_ann_bruteforce": """
             SELECT query_id, neighbor_id, rank FROM (
