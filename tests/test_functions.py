@@ -750,3 +750,42 @@ def test_mixture_sample_rates_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_pack_sequences_stream_invariants(spark):
+    """Structural invariants over a larger corpus: per shard, intervals
+    sorted by start are contiguous from 0 (the stream has no gaps or
+    overlaps), and n_seqs always equals the ceil-arithmetic span — incl.
+    docs many times larger than capacity (capacity=4 forces splits)."""
+    docs = [(i, " ".join(["w"] * (1 + (i * 7) % 23))) for i in range(300)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = text.pack_sequences(df, capacity=4, num_shards=8).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(rows) == 300 and len(by_shard) == 8
+    for shard, members in by_shard.items():
+        members.sort(key=lambda r: r["start_token"])
+        pos = 0
+        for r in members:
+            assert r["start_token"] == pos  # contiguous, no gaps/overlap
+            pos += r["n_tokens"]
+            assert r["first_seq"] == r["start_token"] // 4
+            assert r["last_seq"] == (pos - 1) // 4
+            assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
+
+
+def test_mixture_sample_absent_stratum(spark):
+    """A target stratum absent from the corpus neither crashes nor
+    constrains the total: T derives from the present strata only, and
+    strata outside the target are dropped."""
+    df = spark.createDataFrame(
+        [(i, "en" if i < 80 else "other") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    out = text.mixture_sample(df, "lang", {"en": 8000, "zz": 2000})
+    rows = out.collect()
+    assert {r["lang"] for r in rows} == {"en"}
+    # T = 80*10000//8000 = 100; want_en = 100*8000//10000 = 80
+    # rate = 80*10000//80 = 10000 bp -> every en doc kept
+    assert len(rows) == 80
