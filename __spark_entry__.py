@@ -429,6 +429,26 @@ def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-batch incremental NEAR-dup dedup (functions/incremental.py
+    IncrementalNearDeduper): MinHash band keys, signatures, and bucket
+    occupancy persist on the crawl's StateStore LSM so each batch probes
+    O(batch) state — batch 1 = even doc_ids, batch 2 = the whole corpus
+    (its even ids are exact re-crawls, its odd near-dups match admitted
+    docs). Oracle: GOLDEN PARQUET — tools/make_golden.py replays the
+    admission semantics in independent pure Python (own xxhash64 +
+    minhash implementation, no dedup-code import)."""
+    from colly_spark.functions.incremental import IncrementalNearDeduper
+
+    d = _read(spark, sf, "documents")
+    dd = IncrementalNearDeduper(spark, partitions=8, merge_every=1)
+    b1 = dd.dedupe_batch(d.filter(F.col("doc_id") % 2 == 0))
+    b2 = dd.dedupe_batch(d)
+    return b1.select(F.lit(1).alias("batch"), "doc_id").unionByName(
+        b2.select(F.lit(2).alias("batch"), "doc_id")
+    )
+
+
 def q_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style within-document repetition/shape signals (duplicate
     3-gram fraction, mean word length, symbol ratio) — zero-shuffle JVM
@@ -871,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_dedup": q_line_dedup,
         "q_pii_redact": q_pii_redact,
         "q_incremental_dedup": q_incremental_dedup,
+        "q_incremental_neardup": q_incremental_neardup,
         "q_repetition_signals": q_repetition_signals,
         "q_pipeline_clean": q_pipeline_clean,
         "q_phash_neardup": q_phash_neardup,
@@ -1355,6 +1376,11 @@ def oracle_sql() -> dict[str, str]:
                                               1, 8)) AS UBIGINT) % 100 AS bucket
                   FROM surv s
                   WHERE s.image_id NOT IN (SELECT image_id FROM losers))
+        """,
+        "q_incremental_neardup": """
+            SELECT batch, doc_id
+            FROM read_parquet('/root/repo/golden/q_incremental_neardup.sf0.01.parquet')
+            ORDER BY batch, doc_id
         """,
         "q_ann_bruteforce": """
             SELECT query_id, neighbor_id, rank FROM (

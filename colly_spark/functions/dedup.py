@@ -129,6 +129,33 @@ def minhash_signature(docs: DataFrame, text_col: str = "text",
     return hashed.select("doc_id", _window_lane_min("__hs").alias("sig"))
 
 
+def band_keys(sigs: DataFrame, num_hashes: int = 32, bands: int = 8) -> DataFrame:
+    """(doc_id, band, bucket) LSH band keys from a minhash signature frame:
+    the signature splits into ``bands`` rows of ``num_hashes/bands`` lanes,
+    bucket = xxhash64 of the comma-joined signed-decimal lane values —
+    pure JVM expression, shared by :func:`minhash_lsh_pairs` and the
+    incremental cross-batch deduper (and mirrored byte-for-byte by the
+    golden oracle in tools/make_golden.py)."""
+    r = num_hashes // bands
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.concat_ws(",", *[
+                            F.element_at("sig", b * r + j + 1).cast("string")
+                            for j in range(r)
+                        ])).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -155,30 +182,13 @@ def minhash_lsh_pairs(
       dropped buckets) to log how much was skipped; exact-dup groups that
       big are exact_dedup's job, not LSH's.
     """
-    r = num_hashes // bands
     # eager localCheckpoint, not persist: the signature frame is read by the
     # banding pass AND the pair join-back, but a persist() here could never
     # be unpersisted (the caller only sees the final pairs frame) and leaked
     # cached blocks across calls in a long session; checkpoint blocks are
     # released when the frame is garbage-collected
     sigs = minhash_signature(docs, text_col, num_hashes, k).localCheckpoint(eager=True)
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(F.concat_ws(",", *[
-                            F.element_at("sig", b * r + j + 1).cast("string")
-                            for j in range(r)
-                        ])).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = band_keys(sigs, num_hashes, bands)
     if max_bucket_size:
         # mega-bucket cap fused into the SAME (band, bucket) shuffle the
         # self-join runs on: a count window re-uses that partitioning, so

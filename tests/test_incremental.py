@@ -98,3 +98,69 @@ def test_incremental_probe_never_reshuffles_base(spark):
     assert n_with == n_without == 1, (
         f"extra shuffle appeared ({n_with} vs {n_without}):\n{with_base}"
     )
+
+
+NEAR_A = "the quick brown fox jumps over the lazy dog near the old barn"
+NEAR_A2 = "the quick brown fox jumps over the lazy cat near the old barn"
+OTHER1 = "completely different content about spark shuffles and partitions here"
+OTHER2 = "another unrelated document regarding bloom filters and politeness"
+
+
+def test_incremental_neardup_across_batches(spark):
+    """Batch 1 drops intra-batch near-dups (greedy first-wins: the higher
+    id of each verified pair); batch 2 drops docs near-duplicating ANY
+    admitted doc — including exact re-crawls — and admits the rest."""
+    from colly_spark.functions.incremental import IncrementalNearDeduper
+
+    d = IncrementalNearDeduper(spark, bands=16, threshold=0.5, merge_every=2)
+    b1 = d.dedupe_batch(
+        _docs(spark, [(0, NEAR_A), (1, NEAR_A2), (2, OTHER1)])
+    )
+    assert {r["doc_id"] for r in b1.collect()} == {0, 2}  # 1 near-dups 0
+    b2 = d.dedupe_batch(
+        _docs(spark, [(10, NEAR_A), (11, NEAR_A2), (12, OTHER2)])
+    )
+    # 10 = exact re-crawl of admitted 0; 11 near-dups admitted 0
+    assert {r["doc_id"] for r in b2.collect()} == {12}
+    assert d.seen_count() == 3
+
+
+@pytest.mark.parametrize("backend", ["nd", "nd.db"])
+def test_incremental_neardup_resume(spark, tmp_path, backend):
+    """The LSH index (bands + signatures + occupancy) survives a process
+    restart on both durable backends: a resumed deduper still recognizes
+    near-dups of docs admitted before the restart."""
+    from colly_spark.functions.incremental import IncrementalNearDeduper
+
+    path = str(tmp_path / backend)
+    d1 = IncrementalNearDeduper(spark, checkpoint_dir=path, bands=16, threshold=0.5)
+    d1.dedupe_batch(_docs(spark, [(0, NEAR_A), (2, OTHER1)]))
+    del d1
+    d2 = IncrementalNearDeduper(spark, checkpoint_dir=path, bands=16, threshold=0.5)
+    assert d2.round == 1
+    out = {
+        r["doc_id"]
+        for r in d2.dedupe_batch(
+            _docs(spark, [(10, NEAR_A2), (12, OTHER2)])
+        ).collect()
+    }
+    assert out == {12}
+    assert d2.seen_count() == 3
+
+
+def test_incremental_neardup_occupancy_gate(spark):
+    """Buckets whose PRE-batch occupancy exceeds max_bucket_size are
+    skipped before the fan-out join (on_drop hears the count), so a
+    boilerplate bucket fed by many batches never explodes a probe.
+    threshold > 1 admits everything, growing one bucket past the cap."""
+    from colly_spark.functions.incremental import IncrementalNearDeduper
+
+    drops = []
+    d = IncrementalNearDeduper(
+        spark, threshold=1.01, max_bucket_size=2, on_drop=drops.append
+    )
+    d.dedupe_batch(_docs(spark, [(i, NEAR_A) for i in range(3)]))
+    assert d.seen_count() == 3  # nothing verifies at threshold 1.01
+    b2 = d.dedupe_batch(_docs(spark, [(10, NEAR_A)]))
+    assert {r["doc_id"] for r in b2.collect()} == {10}
+    assert drops and drops[-1] >= 1  # the saturated buckets were skipped

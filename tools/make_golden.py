@@ -353,6 +353,78 @@ def write_crawl_golden(outdir: str) -> int:
     return len(visits)
 
 
+def incremental_neardup_rows(
+    docs: list[tuple[int, str]],
+) -> list[tuple[int, int]]:
+    """Mirror of functions/incremental.IncrementalNearDeduper admission
+    semantics (same constants as minhash_pairs: 32 lanes, 8 bands,
+    threshold 0.8, bucket cap 256) over the driver gate's two batches
+    (batch 1 = even doc_ids, batch 2 = the whole corpus). Per batch:
+
+    1. intra-batch: batch buckets over cap generate no candidates; for
+       every candidate pair (a < b) with lane-agreement >= threshold, b
+       loses (greedy first-wins);
+    2. cross-batch: a doc probing a bucket whose PRE-batch occupancy
+       exceeds the cap skips that bucket; any verified match against an
+       admitted signature drops the doc;
+    3. survivors' band keys / signatures / occupancy deltas are admitted.
+    """
+    r = NUM_HASHES // BANDS
+    sigs = {d: minhash_sig(t) for d, t in docs}
+
+    def keys_of(d: int) -> list[tuple[int, int]]:
+        sig = sigs[d]
+        return [
+            (b, xxh.spark_xxhash64(",".join(str(sig[b * r + j]) for j in range(r))))
+            for b in range(BANDS)
+        ]
+
+    def est(a: list[int], b: list[int]) -> float:
+        return sum(x == y for x, y in zip(a, b)) / float(NUM_HASHES)
+
+    store: dict[tuple[int, int], list[int]] = {}
+    occupancy: dict[tuple[int, int], int] = {}
+    admitted: dict[int, list[int]] = {}
+    rows: list[tuple[int, int]] = []
+    batches = [[(d, t) for d, t in docs if d % 2 == 0], list(docs)]
+    for bno, batch in enumerate(batches, start=1):
+        ids = [d for d, _ in batch]
+        bkeys = {d: keys_of(d) for d in ids}
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for d in ids:
+            for kk in bkeys[d]:
+                buckets.setdefault(kk, []).append(d)
+        losers: set[int] = set()
+        cand: set[tuple[int, int]] = set()
+        for members in buckets.values():
+            if MAX_BUCKET and len(members) > MAX_BUCKET:
+                continue
+            ms = sorted(set(members))
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    cand.add((ms[i], ms[j]))
+        for a, b in cand:
+            if est(sigs[a], sigs[b]) >= THRESHOLD:
+                losers.add(b)
+        for d in ids:
+            if any(
+                est(sigs[d], admitted[old]) >= THRESHOLD
+                for kk in bkeys[d]
+                if occupancy.get(kk, 0) <= MAX_BUCKET
+                for old in store.get(kk, [])
+            ):
+                losers.add(d)
+        for d in ids:
+            if d in losers:
+                continue
+            rows.append((bno, d))
+            admitted[d] = sigs[d]
+            for kk in bkeys[d]:
+                store.setdefault(kk, []).append(d)
+                occupancy[kk] = occupancy.get(kk, 0) + 1
+    return rows
+
+
 def main(sf_dirs: list[str]) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -385,6 +457,15 @@ def main(sf_dirs: list[str]) -> None:
                                   ("est_jaccard", pa.float64())]),
             ),
             os.path.join(outdir, f"q_minhash_neardup.{sfname}.parquet"),
+        )
+        nd_rows = incremental_neardup_rows(docs)
+        pq.write_table(
+            pa.table(
+                {"batch": [r[0] for r in nd_rows],
+                 "doc_id": [r[1] for r in nd_rows]},
+                schema=pa.schema([("batch", pa.int32()), ("doc_id", pa.int64())]),
+            ),
+            os.path.join(outdir, f"q_incremental_neardup.{sfname}.parquet"),
         )
         write_multimodal_goldens(outdir, sfname, [d for d, _ in docs])
         write_image_golden(outdir, sfname, [d for d, _ in docs])
