@@ -346,6 +346,19 @@ def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "lang", "sample_bucket")
 
 
+def q_lm_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality signal: per-doc average log-probability of
+    its word bigrams under the corpus's own MLE bigram model (self-trained,
+    so no smoothing and fully deterministic). Two vocab-bounded count
+    aggregations + one bigram-key scoring join; at 100 TB the model trains
+    on a sample and broadcasts. Oracle rebuilds the model and the scores
+    relationally in DuckDB."""
+    from colly_spark.functions.text import lm_logprob
+
+    d = _read(spark, sf, "documents")
+    return lm_logprob(d)
+
+
 def q_term_df(spark: SparkSession, sf: str) -> DataFrame:
     """Vocabulary statistics (document frequency / term frequency /
     smoothed idf) — one token-key shuffle with partial aggregation; the
@@ -887,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_stratified_sample": q_stratified_sample,
         "q_mixture_sample": q_mixture_sample,
+        "q_lm_logprob": q_lm_logprob,
         "q_term_df": q_term_df,
         "q_line_dedup": q_line_dedup,
         "q_pii_redact": q_pii_redact,
@@ -1129,6 +1143,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
                                            || ':mix'), 1, 8))
                        AS UBIGINT) % 10000 < r.rate_bp
+        """,
+        "q_lm_logprob": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents
+              WHERE length(trim(text)) > 0
+            ), bg AS (
+              SELECT doc_id,
+                     unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS z
+              FROM toks WHERE len(w) >= 2
+            ), b AS (
+              SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bg
+            ), c12 AS (
+              SELECT w1, w2, COUNT(*) AS n12 FROM b GROUP BY w1, w2
+            ), c1 AS (
+              SELECT w1, COUNT(*) AS n1 FROM b GROUP BY w1
+            ), per_doc AS (
+              SELECT b.doc_id, COUNT(*) AS n_bigrams,
+                     0 AS n_oov,
+                     ROUND(AVG(ln(n12 / CAST(n1 AS DOUBLE))), 6) AS avg_logp
+              FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+              GROUP BY b.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(p.n_oov, 0) AS n_oov,
+                   p.avg_logp
+            FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         """,
         "q_term_df": r"""
             WITH toks AS (

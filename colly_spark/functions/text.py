@@ -362,6 +362,73 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def lm_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    model_docs: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style perplexity-proxy quality signal: per document, the
+    average natural-log probability of its word bigrams under a
+    maximum-likelihood bigram model — low ``avg_logp`` marks improbable
+    word sequences (gibberish, OCR noise, wrong-language fragments), the
+    classic LM-filtering axis. The model trains on ``model_docs`` (default:
+    the scored corpus itself — then every scored bigram exists in the model
+    and no smoothing is needed; the result is a pure deterministic function
+    of the corpus). With a separate reference corpus, bigrams unseen in the
+    model are excluded from the average and counted in ``n_oov``.
+
+    Output: (doc_id, n_bigrams, n_oov, avg_logp) — ``avg_logp`` NULL for
+    docs with < 2 tokens.
+
+    Shape: two explode+groupBy passes build the model (bigram + context
+    counts, both vocab-bounded outputs with map-side combine); scoring is
+    one bigram-key join (shuffle linear in corpus token count — the honest
+    cost of LM scoring) and one doc-key agg. At 100 TB you train the model
+    on a sample or a reference corpus (the CCNet recipe) and the model side
+    of the join broadcasts.
+    """
+    def bigrams(frame: DataFrame) -> DataFrame:
+        w = words(F.col(text_col))
+        return (
+            frame.select("doc_id", w.alias("__w"))
+            .where(F.size("__w") >= 2)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.zip_with(
+                        F.expr("slice(__w, 1, size(__w) - 1)"),
+                        F.expr("slice(__w, 2, size(__w) - 1)"),
+                        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                    )
+                ).alias("bg"),
+            )
+            .select("doc_id", "bg.w1", "bg.w2")
+        )
+
+    scored = bigrams(docs)
+    model = scored if model_docs is None else bigrams(model_docs)
+    c12 = model.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__n12"))
+    c1 = model.groupBy("w1").agg(F.count(F.lit(1)).alias("__n1"))
+    joined = scored.join(c12, ["w1", "w2"], "left").join(c1, ["w1"], "left")
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.when(F.col("__n12").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.round(F.avg(F.log(F.col("__n12") / F.col("__n1"))), 6).alias(
+            "avg_logp"
+        ),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            "avg_logp",
+        )
+    )
+
+
 def _id_hash32(id_col: str, salt: str = "") -> Column:
     """Content-free 32-bit id hash as a signed long: integer value of the
     first 8 hex chars of md5(id [+ ':' salt]). md5 (not xxhash64) so any

@@ -789,3 +789,34 @@ def test_mixture_sample_absent_stratum(spark):
     # T = 80*10000//8000 = 100; want_en = 100*8000//10000 = 80
     # rate = 80*10000//80 = 10000 bp -> every en doc kept
     assert len(rows) == 80
+
+
+def test_lm_logprob_hand_checked(spark):
+    """Self-trained MLE bigram scores on a hand-computable corpus; docs
+    with < 2 tokens get NULL avg_logp and zero counts."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.lm_logprob(df).collect()}
+    # model: c12 = {(a,b):3,(b,a):1,(b,c):1}; c1 = {a:3, b:2}
+    assert out[1]["n_bigrams"] == 3 and out[1]["n_oov"] == 0
+    assert out[1]["avg_logp"] == round(math.log(0.5) / 3, 6)
+    assert out[2]["avg_logp"] == round(math.log(0.5) / 2, 6)
+    assert out[3]["n_bigrams"] == 0 and out[3]["avg_logp"] is None
+    assert out[4]["n_bigrams"] == 0
+
+
+def test_lm_logprob_reference_model_oov(spark):
+    """Scoring against a separate reference corpus: bigrams unseen in the
+    model are excluded from the average and counted as OOV."""
+    import math
+
+    model = spark.createDataFrame([(100, "a b a b")], "doc_id long, text string")
+    score = spark.createDataFrame([(1, "a b z")], "doc_id long, text string")
+    out = text.lm_logprob(score, model_docs=model).collect()[0]
+    # (a,b) seen: ln(2/2)=0; (b,z) unseen -> OOV
+    assert out["n_bigrams"] == 2 and out["n_oov"] == 1
+    assert out["avg_logp"] == round(math.log(1.0), 6)
