@@ -346,6 +346,17 @@ def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "lang", "sample_bucket")
 
 
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding/RAG document splitter: word-token chunks of <= 64 tokens
+    with 16 tokens of repeated context (stride 48). Zero-shuffle narrow
+    explode (plan-asserted in pytest); oracle rebuilds starts/slices with
+    DuckDB generate_series + list slicing."""
+    from colly_spark.functions.text import chunk_documents
+
+    d = _read(spark, sf, "documents")
+    return chunk_documents(d, max_tokens=64, overlap=16)
+
+
 def q_lm_logprob(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style LM quality signal: per-doc average log-probability of
     its word bigrams under the corpus's own MLE bigram model (self-trained,
@@ -900,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_stratified_sample": q_stratified_sample,
         "q_mixture_sample": q_mixture_sample,
+        "q_chunk_documents": q_chunk_documents,
         "q_lm_logprob": q_lm_logprob,
         "q_term_df": q_term_df,
         "q_line_dedup": q_line_dedup,
@@ -1143,6 +1155,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
                                            || ':mix'), 1, 8))
                        AS UBIGINT) % 10000 < r.rate_bp
+        """,
+        "q_chunk_documents": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents
+              WHERE length(trim(text)) > 0
+            ), starts AS (
+              SELECT doc_id, w,
+                     unnest(generate_series(
+                       0, GREATEST(0, CAST(ceil((len(w) - 64) / 48.0) AS INT))
+                     )) AS chunk_id
+              FROM toks
+            )
+            SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+                   len(w[chunk_id * 48 + 1 : chunk_id * 48 + 64])
+                     AS n_chunk_tokens,
+                   array_to_string(w[chunk_id * 48 + 1 : chunk_id * 48 + 64],
+                                   ' ') AS chunk
+            FROM starts
         """,
         "q_lm_logprob": r"""
             WITH toks AS (

@@ -362,6 +362,63 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_tokens: int = 256,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into word-token chunks of at most ``max_tokens``
+    with ``overlap`` tokens of context repeated between consecutive chunks
+    — the standard embedding/RAG splitter. Chunk starts advance by the
+    stride ``max_tokens - overlap``; the final chunk may be short; a doc
+    at or under ``max_tokens`` yields exactly itself as chunk 0. Empty
+    docs yield no chunks.
+
+    Output: (id, chunk_id, n_chunk_tokens, chunk) — chunk re-joined with
+    single spaces (tokenization is whitespace-normalizing, matching
+    :func:`token_count`).
+
+    Pure narrow per-row expression: tokenize once, generate chunk starts
+    with ``sequence``, slice per start, explode — zero shuffles at any
+    scale (plan-asserted), no Python.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    w = words(F.col(text_col))
+    n = token_count(F.col(text_col))
+    # last chunk start: largest multiple of stride < n (so a doc of
+    # exactly max_tokens yields one chunk): ceil((n - max_tokens)/stride)
+    # in closed integer form, clamped at >= 0
+    last = F.greatest(
+        F.lit(0), F.expr(f"cast(ceil((`__n` - {max_tokens}) / {stride}.0) as int)")
+    )
+    d = docs.select(
+        F.col(id_col), w.alias("__w"), n.alias("__n")
+    ).where(F.col("__n") > 0)
+    starts = F.sequence(F.lit(0), last)
+    return (
+        d.select(
+            id_col,
+            "__n",
+            F.posexplode(
+                F.transform(
+                    starts,
+                    lambda i: F.slice(F.col("__w"), i * stride + 1, max_tokens),
+                )
+            ).alias("chunk_id", "__toks"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("__toks").alias("n_chunk_tokens"),
+            F.array_join("__toks", " ").alias("chunk"),
+        )
+    )
+
+
 def lm_logprob(
     docs: DataFrame,
     text_col: str = "text",

@@ -820,3 +820,50 @@ def test_lm_logprob_reference_model_oov(spark):
     # (a,b) seen: ln(2/2)=0; (b,z) unseen -> OOV
     assert out["n_bigrams"] == 2 and out["n_oov"] == 1
     assert out["avg_logp"] == round(math.log(1.0), 6)
+
+
+def test_chunk_documents_values_and_plan(spark):
+    """Chunk boundaries against an independent python recomputation:
+    stride = max - overlap, final chunk short, exact-fit doc yields one
+    chunk, overlap region repeats; zero-shuffle plan."""
+    texts = {
+        1: " ".join(f"t{i}" for i in range(10)),   # 10 tokens, cap 4, ov 1
+        2: " ".join(f"t{i}" for i in range(4)),    # exactly cap -> 1 chunk
+        3: "one",
+        4: "",
+        5: " ".join(f"t{i}" for i in range(9)),   # short final chunk
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = text.chunk_documents(df, max_tokens=4, overlap=1)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+
+    expect = {}
+    for d, t in texts.items():
+        w = t.split()
+        if not w:
+            continue
+        stride = 3
+        import math
+        last = max(0, math.ceil((len(w) - 4) / stride))
+        for k in range(last + 1):
+            tk = w[k * stride: k * stride + 4]
+            expect[(d, k)] = (len(tk), " ".join(tk))
+    assert set(rows) == set(expect)
+    for key, (n, chunk) in expect.items():
+        assert (rows[key]["n_chunk_tokens"], rows[key]["chunk"]) == (n, chunk)
+    # doc 1: starts 0,3,6 -> the last chunk ends exactly at the text
+    assert rows[(1, 2)]["chunk"] == "t6 t7 t8 t9"
+    # doc 5 (9 tokens): starts 0,3,6 -> final chunk short (3 tokens)
+    assert rows[(5, 2)]["chunk"] == "t6 t7 t8"
+    # overlap: chunk k ends with the token chunk k+1 starts with
+    assert rows[(1, 0)]["chunk"].split()[-1] == rows[(1, 1)]["chunk"].split()[0]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        text.chunk_documents(df, max_tokens=4, overlap=4)
