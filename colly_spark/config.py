@@ -63,6 +63,17 @@ def tokens_for_rule(rule: LimitRule | None, round_budget_ms: int, service_est_ms
     return max(par, int(par * round_budget_ms // max(per_req_ms, 1)))
 
 
+def tokens_for_delay(delay_secs: float, round_budget_ms: int,
+                     service_est_ms: int = 10) -> int:
+    """Fetch tokens per round a robots Crawl-delay allows: serialized
+    requests (parallelism 1) spaced ``delay_secs`` apart within the round
+    budget, never below 1 so a delaying domain still progresses. Shared by
+    the engine and the serial simulator (visit-order parity under
+    respect_crawl_delay)."""
+    per_req_ms = int(delay_secs * 1000) + service_est_ms
+    return max(1, int(round_budget_ms // max(per_req_ms, 1)))
+
+
 @dataclass(frozen=True)
 class ExtractorSpec:
     """One general OnHTML/OnXML registration (colly.go:929-1051) in
@@ -113,6 +124,12 @@ class CrawlConfig:
     allow_url_revisit: bool = False  # colly.go:84
     max_body_size: int = 10 * 1024 * 1024  # colly.go:499 default 10 MiB
     ignore_robots_txt: bool = True  # colly.go:95,507 (default: ignore)
+    # S2 extension beyond colly: honor robots.txt Crawl-delay as an extra
+    # per-domain token cap (parallelism 1 while delaying, REP convention).
+    # The reference's robots library PARSES CrawlDelay (temoto/robotstxt)
+    # but colly never reads it — so this is default-OFF to preserve visit
+    # order parity, and only meaningful with ignore_robots_txt=False.
+    respect_crawl_delay: bool = False
     parse_http_error_response: bool = False  # colly.go:102
     detect_charset: bool = False  # colly.go:107; P0 response.go:97-106
     max_requests: int = 0  # colly.go:121 (0 = unlimited)

@@ -219,6 +219,15 @@ class Crawler:
         self._prebuild()
 
     # ------------------------------------------------------------------
+    def _robots_delay_caps(self):
+        """See operators/robots.robots_delay_caps (S2 Crawl-delay caps)."""
+        return robots_op.robots_delay_caps(
+            self.store.get("robots_cache"),
+            self.cfg.user_agent,
+            self.cfg.round_budget_ms,
+            self.cfg.service_est_ms,
+        )
+
     def _prebuild(self) -> None:
         """Build every config-static plan fragment ONCE.
 
@@ -1071,7 +1080,16 @@ class Crawler:
         # batch) is provably a no-op. One cheap agg over the SKINNY verdict
         # frame decides it (the wide payload join-back must never
         # materialize just to answer a yes/no scheduling question).
+        # respect_crawl_delay (S2 extension, default off): per-domain token
+        # ceilings from robots Crawl-delay, read from this round's robots
+        # cache (host-sized, broadcast). Computed lazily here; joined inside
+        # dispatch_seq_map's skinny projection.
+        delay_caps = None
+        if cfg.respect_crawl_delay and not cfg.ignore_robots_txt:
+            delay_caps = self._robots_delay_caps()
         fast_fifo = deferred_prev == 0 and not cfg.abort_url_filters and (
+            delay_caps is None
+        ) and (
             not cfg.limit_rules
             or verdict.where("__accepted")
             .groupBy("rule_idx", "domain")
@@ -1101,7 +1119,7 @@ class Crawler:
             frontier = pending.unionByName(accepted_df)
             seqmap, dtot = sched_op.dispatch_seq_map(
                 frontier, cfg, fetched, num_partitions=cfg.shuffle_partitions,
-                pins=self._pins,
+                pins=self._pins, delay_caps=delay_caps,
             )
             joined = frontier.join(seqmap, on="enqueue_seq", how="left").persist()
             self._pins.append(joined)

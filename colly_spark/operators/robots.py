@@ -84,3 +84,39 @@ def robots_gate_kind(user_agent: str):
         )
 
     return kind
+
+
+def robots_delay_caps(
+    cache: DataFrame, user_agent: str, round_budget_ms: int, service_est_ms: int
+) -> DataFrame:
+    """(domain, __delay_tokens) from the robots cache: hosts whose
+    robots.txt declares a Crawl-delay for ``user_agent`` get a per-round
+    token ceiling (config.tokens_for_delay — serialized requests spaced by
+    the delay). Host-cardinality output, broadcast by the dispatch join;
+    hosts without a declared delay are absent (uncapped). S2 extension
+    beyond colly: the reference's robots library parses CrawlDelay
+    (temoto/robotstxt) but colly never reads it, hence
+    CrawlConfig.respect_crawl_delay defaults off."""
+    from pyspark.sql.types import LongType
+
+    from colly_spark.config import tokens_for_delay
+    from colly_spark.robotskit import robots_crawl_delay
+
+    @F.pandas_udf(LongType())
+    def _caps(body: pd.Series) -> pd.Series:
+        def one(b):
+            d = robots_crawl_delay(b, user_agent)
+            if d is None:
+                return None
+            return tokens_for_delay(d, round_budget_ms, service_est_ms)
+
+        return body.map(one).astype("object")
+
+    return (
+        cache.where(~F.col("fetch_failed"))
+        .select(
+            F.col("host").alias("domain"),
+            _caps(F.col("robots_body")).alias("__delay_tokens"),
+        )
+        .where(F.col("__delay_tokens").isNotNull())
+    )

@@ -62,6 +62,7 @@ def dispatch_seq_map(
     fetched: int,
     num_partitions: int | None = None,
     pins: list | None = None,
+    delay_caps: DataFrame | None = None,
 ):
     """(seqmap, totals): the politeness split + global FIFO rank computed on
     a skinny (enqueue_seq, domain, rule_idx) projection of the frontier.
@@ -75,10 +76,17 @@ def dispatch_seq_map(
     from colly_spark.operators.seq import with_ordered_counts
 
     skinny = frontier.select("enqueue_seq", "domain", "rule_idx")
+    cap = tokens_map_expr(cfg)
+    if delay_caps is not None:
+        # robots Crawl-delay caps (respect_crawl_delay): per-domain token
+        # ceilings derived from the robots cache, broadcast onto the skinny
+        # projection — domains without a declared delay stay uncapped
+        skinny = skinny.join(F.broadcast(delay_caps), "domain", "left")
+        cap = F.least(cap, F.coalesce(F.col("__delay_tokens"), F.lit(1 << 30)))
     w = Window.partitionBy("domain").orderBy("enqueue_seq")
-    flagged = skinny.withColumn(
-        "__disp", F.row_number().over(w) <= tokens_map_expr(cfg)
-    )
+    flagged = skinny.withColumn("__disp", F.row_number().over(w) <= cap)
+    if delay_caps is not None:
+        flagged = flagged.drop("__delay_tokens")
     seqd, totals = with_ordered_counts(
         flagged, ["enqueue_seq"], ["__disp"], num_partitions=num_partitions,
         return_totals=True, pins=pins,

@@ -33,11 +33,17 @@ def _rule_regex(pattern: str) -> re.Pattern:
 class RobotsRules:
     """Parsed rule groups for one robots.txt body."""
 
-    __slots__ = ("groups",)
+    __slots__ = ("groups", "delays")
 
     def __init__(self, body: str):
         # groups: list of (agent_lower, [(is_allow, pattern, weight)])
         self.groups: list[tuple[str, list[tuple[bool, str]]]] = []
+        # delays: agent_lower -> Crawl-delay seconds (float). The reference's
+        # robots library (temoto/robotstxt, CrawlDelay field) parses this
+        # even though colly itself never reads it — exposed here for the
+        # opt-in politeness integration (CrawlConfig.respect_crawl_delay);
+        # parity with colly is the default-off path.
+        self.delays: dict[str, float] = {}
         current_agents: list[str] = []
         rules_open = False
         for raw_line in (body or "").splitlines():
@@ -61,6 +67,15 @@ class RobotsRules:
                 for g_agent, g_rules in self.groups:
                     if g_agent in current_agents:
                         g_rules.append((key == "allow", val))
+            elif key == "crawl-delay":
+                rules_open = True
+                try:
+                    secs = float(val)
+                except ValueError:
+                    continue
+                if secs >= 0:
+                    for agent in current_agents:
+                        self.delays[agent] = secs
 
     def _group_for(self, user_agent: str) -> list[tuple[bool, str]] | None:
         ua = (user_agent or "").lower()
@@ -73,6 +88,24 @@ class RobotsRules:
             elif agent in ua or ua.startswith(agent):
                 if best is None or len(agent) > best[0]:
                     best = (len(agent), rules)
+        if best is not None:
+            return best[1]
+        return star
+
+    def crawl_delay(self, user_agent: str) -> float | None:
+        """Crawl-delay seconds for this agent (longest-agent-match, ``*``
+        fallback — the same group resolution as :meth:`allowed`), or None
+        when the body declares none."""
+        ua = (user_agent or "").lower()
+        best: tuple[int, float] | None = None
+        star: float | None = None
+        for agent, secs in self.delays.items():
+            if agent == "*":
+                if star is None:
+                    star = secs
+            elif agent in ua or ua.startswith(agent):
+                if best is None or len(agent) > best[0]:
+                    best = (len(agent), secs)
         if best is not None:
             return best[1]
         return star
@@ -110,3 +143,10 @@ def robots_allowed(body: str | None, user_agent: str, path_query: str) -> bool:
     if not body:
         return True
     return parse_robots(body).allowed(user_agent, path_query)
+
+
+def robots_crawl_delay(body: str | None, user_agent: str) -> float | None:
+    """Crawl-delay seconds declared for this agent, or None."""
+    if not body:
+        return None
+    return parse_robots(body).crawl_delay(user_agent)

@@ -18,9 +18,10 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from colly_spark import xxh
-from colly_spark.config import CrawlConfig, match_rule_idx, tokens_for_rule
+from colly_spark.config import (CrawlConfig, match_rule_idx, tokens_for_delay,
+                                tokens_for_rule)
 from colly_spark.fixtures import Site
-from colly_spark.robotskit import robots_allowed
+from colly_spark.robotskit import robots_allowed, robots_crawl_delay
 from colly_spark.urlkit import absolutize, canonicalize, hostname, path_query
 
 GET = "GET"
@@ -430,6 +431,18 @@ def simulate(site: Site, seeds: list[dict], cfg: CrawlConfig, max_rounds: int | 
             rule_idx = match_rule_idx(cand["domain"], cfg.limit_rules)
             rule = cfg.limit_rules[rule_idx] if rule_idx >= 0 else None
             tokens = tokens_for_rule(rule, cfg.round_budget_ms, cfg.service_est_ms)
+            if cfg.respect_crawl_delay and not cfg.ignore_robots_txt:
+                # S2 extension mirror: robots Crawl-delay caps the domain's
+                # tokens (parallelism 1 while delaying), same formula as
+                # the engine's _robots_delay_caps
+                r = robots.get(cand["domain"])
+                body = r["body"] if r is not None and not r["fetch_fails"] else None
+                d = robots_crawl_delay(body, cfg.user_agent)
+                if d is not None:
+                    tokens = min(
+                        tokens,
+                        tokens_for_delay(d, cfg.round_budget_ms, cfg.service_est_ms),
+                    )
             n = taken_by_domain.get(cand["domain"], 0)
             if n < tokens:
                 taken_by_domain[cand["domain"]] = n + 1

@@ -554,3 +554,46 @@ def test_check_head_header_abort_proxy_slot(spark, tabs):
     eng = [(r["fetch_seq"], r["proxy"])
            for r in out["visits"].orderBy("fetch_seq").collect()]
     assert eng == [(v["fetch_seq"], v["proxy"]) for v in sim.visits]
+
+
+def test_respect_crawl_delay_parity(spark):
+    """S2 extension (default off, opt-in): a robots Crawl-delay caps each
+    domain's per-round tokens (tokens_for_delay: serialized requests).
+    Engine visit order/errors/seen/results equal the simulator's, the cap
+    provably bites (no domain exceeds it in any round, and the crawl takes
+    more rounds than with the flag off), and with the flag OFF the delay
+    line changes nothing (colly parity: Crawl-delay parsed, never read)."""
+    from collections import Counter as C
+
+    from colly_spark.config import tokens_for_delay
+    from colly_spark.fixtures import DEFAULT_ROBOTS_BODY
+
+    body = DEFAULT_ROBOTS_BODY + "Crawl-delay: 0.3\n"
+    site = build_site(SPEC, robots_body=body)
+    tabs2 = site_to_spark(spark, site)
+    seeds = make_seeds([site.pages[0]["url"], site.pages[10]["url"]])
+
+    cfg_on = CrawlConfig(
+        max_depth=3, ignore_robots_txt=False, respect_crawl_delay=True,
+        shuffle_partitions=8,
+    )
+    out, sim, _ = run_compare(spark, tabs2, seeds, cfg_on, max_rounds=30,
+                              site=site)
+
+    cap = tokens_for_delay(0.3, cfg_on.round_budget_ms, cfg_on.service_est_ms)
+    assert cap == 3
+    per_round = C()
+    for v in sim.visits:
+        per_round[(v["round"], v["url"].split("/")[2])] += 1
+    assert max(per_round.values()) <= cap
+    assert any(n == cap for n in per_round.values())  # the cap bites
+
+    cfg_off = CrawlConfig(max_depth=3, ignore_robots_txt=False,
+                          shuffle_partitions=8)
+    sim_off = simulate(site, seeds, cfg_off, max_rounds=30)
+    assert sim.rounds > sim_off.rounds  # deferrals stretch the crawl
+    # flag off: identical to a site without the Crawl-delay line
+    sim_plain = simulate(build_site(SPEC), seeds, cfg_off, max_rounds=30)
+    assert [v["url"] for v in sim_off.visits] == [
+        v["url"] for v in sim_plain.visits
+    ]

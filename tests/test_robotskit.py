@@ -47,3 +47,41 @@ def test_end_anchor():
     body = "User-agent: *\nDisallow: /exact$\n"
     assert not robots_allowed(body, "ua", "/exact")
     assert robots_allowed(body, "ua", "/exactly")
+
+
+def test_crawl_delay_parsing_and_group_resolution():
+    from colly_spark.robotskit import parse_robots, robots_crawl_delay
+
+    body = (
+        "User-agent: *\n"
+        "Crawl-delay: 2\n"
+        "Disallow: /x\n"
+        "\n"
+        "User-agent: specialbot\n"
+        "Crawl-delay: 0.5\n"
+        "\n"
+        "User-agent: badbot\n"
+        "Crawl-delay: soon\n"   # unparseable -> ignored
+    )
+    r = parse_robots(body)
+    assert r.crawl_delay("anything") == 2.0          # * fallback
+    assert r.crawl_delay("SpecialBot/1.0") == 0.5    # longest agent match
+    assert r.crawl_delay("badbot") == 2.0            # bad value -> fallback
+    assert robots_crawl_delay(None, "x") is None
+    assert robots_crawl_delay("User-agent: *\nDisallow:\n", "x") is None
+
+
+def test_crawl_delay_does_not_break_allow_rules():
+    """A Crawl-delay line inside a group must not terminate the group's
+    Allow/Disallow accumulation (rules_open bookkeeping)."""
+    from colly_spark.robotskit import parse_robots
+
+    body = (
+        "User-agent: *\n"
+        "Crawl-delay: 1\n"
+        "Disallow: /private\n"
+    )
+    r = parse_robots(body)
+    assert not r.allowed("bot", "/private/x")
+    assert r.allowed("bot", "/public")
+    assert r.crawl_delay("bot") == 1.0
