@@ -33,7 +33,7 @@ def _rule_regex(pattern: str) -> re.Pattern:
 class RobotsRules:
     """Parsed rule groups for one robots.txt body."""
 
-    __slots__ = ("groups", "delays")
+    __slots__ = ("groups", "delays", "sitemaps")
 
     def __init__(self, body: str):
         # groups: list of (agent_lower, [(is_allow, pattern, weight)])
@@ -44,6 +44,9 @@ class RobotsRules:
         # opt-in politeness integration (CrawlConfig.respect_crawl_delay);
         # parity with colly is the default-off path.
         self.delays: dict[str, float] = {}
+        # Sitemap: lines are GLOBAL per the sitemaps.org protocol — they
+        # belong to no user-agent group and don't affect group bookkeeping
+        self.sitemaps: list[str] = []
         current_agents: list[str] = []
         rules_open = False
         for raw_line in (body or "").splitlines():
@@ -67,6 +70,9 @@ class RobotsRules:
                 for g_agent, g_rules in self.groups:
                     if g_agent in current_agents:
                         g_rules.append((key == "allow", val))
+            elif key == "sitemap":
+                if val:
+                    self.sitemaps.append(val)
             elif key == "crawl-delay":
                 rules_open = True
                 try:
@@ -150,3 +156,10 @@ def robots_crawl_delay(body: str | None, user_agent: str) -> float | None:
     if not body:
         return None
     return parse_robots(body).crawl_delay(user_agent)
+
+
+def robots_sitemaps(body: str | None) -> list[str]:
+    """Sitemap URLs declared in a robots.txt body (global directives)."""
+    if not body:
+        return []
+    return list(parse_robots(body).sitemaps)

@@ -98,3 +98,86 @@ def test_crawl_results_to_warc(spark):
     out = warc.warc_record_bytes(pages).select("url", "warc_record").collect()
     whole = b"".join(r["warc_record"] for r in out)
     assert len(list(warc.iter_warc_records(whole))) == len(out)
+
+
+# ---------------------------------------------------------------------------
+# sitemaps
+# ---------------------------------------------------------------------------
+
+URLSET = b"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>http://d00.test/page/0</loc><lastmod>2026-01-01</lastmod>
+       <changefreq>daily</changefreq><priority>0.8</priority></url>
+  <url><loc>http://d00.test/page/1</loc></url>
+  <url><lastmod>2026-01-02</lastmod></url>
+</urlset>"""
+
+INDEX = b"""<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>http://d00.test/sitemap-a.xml</loc>
+           <lastmod>2026-02-01</lastmod></sitemap>
+  <sitemap><loc>http://d00.test/sitemap-b.xml.gz</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_parse_sitemap_urlset_and_index():
+    from colly_spark.sources.sitemap import parse_sitemap
+
+    is_index, entries = parse_sitemap(URLSET)
+    assert not is_index
+    assert [e["loc"] for e in entries] == [
+        "http://d00.test/page/0", "http://d00.test/page/1"
+    ]  # loc-less entry skipped
+    assert entries[0]["lastmod"] == "2026-01-01"
+    assert entries[0]["changefreq"] == "daily" and entries[0]["priority"] == "0.8"
+
+    is_index, entries = parse_sitemap(gzip.compress(INDEX))  # .xml.gz
+    assert is_index
+    assert [e["loc"] for e in entries] == [
+        "http://d00.test/sitemap-a.xml", "http://d00.test/sitemap-b.xml.gz"
+    ]
+    # namespace-free documents parse too
+    assert parse_sitemap(b"<urlset><url><loc>http://x/</loc></url></urlset>")[1]
+
+    with pytest.raises(ValueError, match="not a sitemap"):
+        parse_sitemap(b"<html></html>")
+    with pytest.raises(ValueError, match="malformed"):
+        parse_sitemap(b"<urlset><url>")
+
+
+def test_robots_sitemap_directives():
+    from colly_spark.robotskit import parse_robots, robots_sitemaps
+
+    body = (
+        "Sitemap: http://d00.test/sitemap.xml\n"
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Sitemap: http://d00.test/sitemap2.xml.gz\n"
+    )
+    assert robots_sitemaps(body) == [
+        "http://d00.test/sitemap.xml", "http://d00.test/sitemap2.xml.gz"
+    ]
+    # global directive does not disturb group rules
+    assert not parse_robots(body).allowed("bot", "/private/x")
+    assert robots_sitemaps(None) == []
+
+
+def test_sitemap_entries_dataframe(spark):
+    from colly_spark.sources.sitemap import sitemap_entries
+
+    df = spark.createDataFrame(
+        [
+            ("http://d00.test/sitemap.xml", URLSET),
+            ("http://d00.test/sitemap-index.xml", INDEX),
+            ("http://d00.test/broken.xml", b"not xml at all"),
+        ],
+        "url string, body binary",
+    )
+    rows = sitemap_entries(df).collect()
+    seeds = [r["loc"] for r in rows if r["is_index"] is False]
+    children = [r["loc"] for r in rows if r["is_index"]]
+    bad = [r for r in rows if r["loc"] is None]
+    assert seeds == ["http://d00.test/page/0", "http://d00.test/page/1"]
+    assert children == [
+        "http://d00.test/sitemap-a.xml", "http://d00.test/sitemap-b.xml.gz"
+    ]
+    assert len(bad) == 1 and "malformed" in bad[0]["lastmod"]
