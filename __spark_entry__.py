@@ -606,6 +606,79 @@ def q_image_curation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_PR_ITER, _PR_DAMP = 6, 0.85
+_PR_FANOUT = 3
+
+
+def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Link-authority ranking for frontier prioritization: PageRank
+    (functions/graph.py — per iteration one edges join + one dst-key agg,
+    dangling mass redistributed) over a deterministic synthetic link graph
+    (each doc links to 3 md5-derived targets mod N). Oracle: the SAME
+    power iteration unrolled as 6 chained CTEs in DuckDB — a fully
+    relational check of every iteration's join/agg, not a golden file."""
+    from colly_spark.functions.graph import pagerank
+
+    d = _read(spark, sf, "documents")
+    n_row = d.agg(F.count(F.lit(1)).alias("__n"))
+    hs = [
+        f"cast(conv(substring(md5(cast(doc_id * {_PR_FANOUT} + {j} as string)),"
+        f" 1, 8), 16, 10) as bigint)"
+        for j in range(_PR_FANOUT)
+    ]
+    edges = (
+        d.crossJoin(F.broadcast(n_row))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(*[F.expr(h) for h in hs])).alias("__h"),
+            "__n",
+        )
+        .select("src", (F.col("__h") % F.col("__n")).alias("dst"))
+    )
+    pr = pagerank(edges, iterations=_PR_ITER, damping=_PR_DAMP)
+    return pr.select(
+        F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
+    )
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled power-iteration CTE chain mirroring q_pagerank."""
+    hs = ", ".join(
+        f"CAST(('0x' || substr(md5(CAST(doc_id * {_PR_FANOUT} + {j} AS VARCHAR)),"
+        f" 1, 8)) AS UBIGINT)"
+        for j in range(_PR_FANOUT)
+    )
+    iters = []
+    for i in range(1, _PR_ITER + 1):
+        prev = f"r{i-1}"
+        iters.append(f"""r{i} AS (
+  SELECT nodes.node,
+         (1 - {_PR_DAMP}) / nn.n
+         + {_PR_DAMP} * (COALESCE(c.inn, 0) + dmi.dm / nn.n) AS rank
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst AS node, SUM(r.rank / deg.deg) AS inn
+             FROM edges e JOIN {prev} r ON r.node = e.src
+             JOIN deg ON deg.src = e.src
+             GROUP BY e.dst) c USING (node)
+  CROSS JOIN (SELECT COALESCE(SUM(rank), 0) AS dm FROM {prev}
+              WHERE node NOT IN (SELECT src FROM deg)) dmi
+)""")
+    return f"""
+        WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        edges AS (
+          SELECT src, CAST(h % n AS BIGINT) AS dst
+          FROM (SELECT doc_id AS src, unnest([{hs}]) AS h
+                FROM documents), nn
+        ),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM edges
+                  UNION SELECT DISTINCT dst FROM edges),
+        r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn),
+        {", ".join(iters)}
+        SELECT node AS doc_id, ROUND(rank, 6) AS rank FROM r{_PR_ITER}
+    """
+
+
 def q_ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     from colly_spark.functions.similarity import brute_force_topk
 
@@ -922,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pipeline_clean": q_pipeline_clean,
         "q_phash_neardup": q_phash_neardup,
         "q_image_curation": q_image_curation,
+        "q_pagerank": q_pagerank,
         "q_ann_bruteforce": q_ann_bruteforce,
         "q_ann_ivf": q_ann_ivf,
         "q_embedding_neardup": q_embedding_neardup,
@@ -1394,6 +1468,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN imgs pb ON pb.image_id = c.b
             WHERE bit_count(xor(pa.phash, pb.phash)) <= 3
         """,
+        "q_pagerank": _pagerank_oracle_sql(),
         "q_image_curation": f"""
             WITH imgs AS (
               SELECT doc_id AS image_id, text AS caption,

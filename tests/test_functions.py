@@ -867,3 +867,32 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         text.chunk_documents(df, max_tokens=4, overlap=4)
+
+
+def test_pagerank_hand_graph(spark):
+    """PageRank on a 4-node graph with a dangling node, checked against an
+    independent pure-python power iteration (same formulation: uniform
+    init, dangling mass redistributed, fixed iterations)."""
+    from colly_spark.functions.graph import pagerank
+
+    edges = [("a", "b"), ("b", "a"), ("c", "a"), ("a", "d")]  # d dangles
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: round(r["rank"], 9) for r in
+           pagerank(df, iterations=8).collect()}
+
+    nodes = sorted({x for e in edges for x in e})
+    n, d = len(nodes), 0.85
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(8):
+        dm = sum(r[v] for v in nodes if v not in deg)
+        inn = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            inn[t] += r[s] / deg[s]
+        r = {v: (1 - d) / n + d * (inn[v] + dm / n) for v in nodes}
+    for v in nodes:
+        assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got["a"] == max(got.values())  # both b and c point at a
