@@ -606,6 +606,56 @@ def q_image_curation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_warc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC interchange as a driver-gate row: every document serializes to
+    a canonical WARC/1.0 response record (sources/warc.warc_record_bytes,
+    per-record gzip members) and parses back through the reader kernel —
+    all inside executors, Arrow-batched. The oracle states round-trip
+    identity relationally: URI, status, content type, and payload byte
+    length must equal what the documents table implies."""
+    import pandas as pd
+
+    from colly_spark.sources.warc import iter_warc_records, warc_record_bytes
+
+    d = _read(spark, sf, "documents")
+    rows = d.select(
+        F.concat(F.lit("http://corpus.test/doc/"), F.col("doc_id")).alias("url"),
+        F.col("doc_id"),
+        F.lit(200).alias("status"),
+        F.lit("text/plain").alias("content_type"),
+        F.encode(F.col("text"), "UTF-8").alias("body"),
+    )
+    recs = warc_record_bytes(rows, compress=True).select("doc_id", "warc_record")
+
+    def reparse(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["warc_record"]):
+                (rec,) = iter_warc_records(bytes(blob))
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "target_uri": rec["target_uri"],
+                        "http_status": rec["http_status"],
+                        "content_type": rec["content_type"],
+                        "payload_bytes": len(rec["payload"]),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "target_uri", "http_status", "content_type",
+                    "payload_bytes",
+                ],
+            )
+
+    return recs.mapInPandas(
+        reparse,
+        "doc_id long, target_uri string, http_status int, "
+        "content_type string, payload_bytes long",
+    )
+
+
 _PR_ITER, _PR_DAMP = 6, 0.85
 _PR_FANOUT = 3
 
@@ -996,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phash_neardup": q_phash_neardup,
         "q_image_curation": q_image_curation,
         "q_pagerank": q_pagerank,
+        "q_warc_roundtrip": q_warc_roundtrip,
         "q_ann_bruteforce": q_ann_bruteforce,
         "q_ann_ivf": q_ann_ivf,
         "q_embedding_neardup": q_embedding_neardup,
@@ -1469,6 +1520,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(pa.phash, pb.phash)) <= 3
         """,
         "q_pagerank": _pagerank_oracle_sql(),
+        "q_warc_roundtrip": """
+            SELECT doc_id,
+                   'http://corpus.test/doc/' || doc_id AS target_uri,
+                   200 AS http_status,
+                   'text/plain' AS content_type,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+            FROM documents
+        """,
         "q_image_curation": f"""
             WITH imgs AS (
               SELECT doc_id AS image_id, text AS caption,
