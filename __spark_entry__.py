@@ -656,6 +656,46 @@ def q_warc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sitemap_entries(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap protocol surface as a gate row: per source, a urlset XML
+    document is BUILT relationally from its documents (10 docs per
+    sitemap, loc + lastmod), then parsed back by sources/sitemap.py in
+    Arrow batches. The oracle states parse identity — every (sitemap_url,
+    loc, lastmod) must match what the documents table implies."""
+    from colly_spark.sources.sitemap import sitemap_entries
+
+    d = _read(spark, sf, "documents")
+    entry_xml = F.concat(
+        F.lit("<url><loc>http://corpus.test/doc/"), F.col("doc_id"),
+        F.lit("</loc><lastmod>2026-01-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod></url>"),
+    )
+    sitemaps = (
+        d.withColumn("__sm", F.floor(F.col("doc_id") / 10))
+        .groupBy("__sm")
+        .agg(F.concat_ws("", F.sort_array(F.collect_list(
+            F.struct(F.col("doc_id"), entry_xml.alias("x"))
+        )).getField("x")).alias("__inner"))
+        .select(
+            F.concat(F.lit("http://corpus.test/sitemap-"), F.col("__sm"),
+                     F.lit(".xml")).alias("url"),
+            F.encode(
+                F.concat(
+                    F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/'
+                          'sitemap/0.9">'),
+                    F.col("__inner"),
+                    F.lit("</urlset>"),
+                ),
+                "UTF-8",
+            ).alias("body"),
+        )
+    )
+    return sitemap_entries(sitemaps).select(
+        "sitemap_url", "is_index", "loc", "lastmod"
+    )
+
+
 _PR_ITER, _PR_DAMP = 6, 0.85
 _PR_FANOUT = 3
 
@@ -1047,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_curation": q_image_curation,
         "q_pagerank": q_pagerank,
         "q_warc_roundtrip": q_warc_roundtrip,
+        "q_sitemap_entries": q_sitemap_entries,
         "q_ann_bruteforce": q_ann_bruteforce,
         "q_ann_ivf": q_ann_ivf,
         "q_embedding_neardup": q_embedding_neardup,
@@ -1526,6 +1567,15 @@ def oracle_sql() -> dict[str, str]:
                    200 AS http_status,
                    'text/plain' AS content_type,
                    CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+            FROM documents
+        """,
+        "q_sitemap_entries": """
+            SELECT 'http://corpus.test/sitemap-' || (doc_id // 10) || '.xml'
+                     AS sitemap_url,
+                   FALSE AS is_index,
+                   'http://corpus.test/doc/' || doc_id AS loc,
+                   '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                     AS lastmod
             FROM documents
         """,
         "q_image_curation": f"""
