@@ -387,3 +387,66 @@ def test_xpath_count_matches_bruteforce(kid_counts, rhs, op):
            "<=": operator.le, ">": operator.gt, ">=": operator.ge}
     want = {f"g{i}" for i, n in enumerate(kid_counts) if ops[op](n, rhs)}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# WARC / sitemap parser properties
+# ---------------------------------------------------------------------------
+
+_bodies = st.lists(
+    st.binary(max_size=200), min_size=1, max_size=8
+)
+
+
+@settings(**SETTINGS)
+@given(_bodies, st.booleans())
+@example([b"\r\n\r\nWARC/1.0\r\n"], False)  # body that mimics a record head
+@example([b"HTTP/1.1 200 \r\n\r\nx"], True)  # body that mimics an HTTP msg
+def test_warc_roundtrip_arbitrary_bodies(bodies, compress):
+    """Serialize N records with ARBITRARY binary bodies (including bytes
+    that mimic record headers or HTTP messages), concatenate, parse back:
+    exactly N records, payloads byte-identical, statuses preserved —
+    records are length-delimited, so no body can confuse the framing."""
+    import gzip as _gz
+
+    from colly_spark.sources import warc as w
+
+    blob = b""
+    for i, body in enumerate(bodies):
+        rec = w._one_record(
+            f"http://t.test/{i}", "2026-01-01T00:00:00Z", 200 + i,
+            "application/octet-stream", body, f"r{i}",
+        )
+        blob += _gz.compress(rec) if compress else rec
+    recs = list(w.iter_warc_records(blob))
+    assert len(recs) == len(bodies)
+    for i, (r, body) in enumerate(zip(recs, bodies)):
+        assert r["payload"] == body
+        assert r["http_status"] == 200 + i
+        assert r["target_uri"] == f"http://t.test/{i}"
+
+
+_locs = st.lists(
+    st.integers(min_value=0, max_value=10**9), min_size=0, max_size=20,
+    unique=True,
+)
+
+
+@settings(**SETTINGS)
+@given(_locs, st.booleans())
+def test_sitemap_roundtrip(ids, as_index):
+    """Build a urlset/sitemapindex document from N ids, parse back: same
+    N locs in order, kind preserved."""
+    from colly_spark.sources.sitemap import parse_sitemap
+
+    tag, item = ("sitemapindex", "sitemap") if as_index else ("urlset", "url")
+    inner = "".join(
+        f"<{item}><loc>http://t.test/{i}</loc></{item}>" for i in ids
+    )
+    body = (
+        f'<{tag} xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        f"{inner}</{tag}>"
+    )
+    is_index, entries = parse_sitemap(body.encode())
+    assert is_index == as_index
+    assert [e["loc"] for e in entries] == [f"http://t.test/{i}" for i in ids]
