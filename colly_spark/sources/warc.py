@@ -53,6 +53,7 @@ WARC_RECORDS = StructType(
     [
         StructField("file", StringType()),
         StructField("record_offset", LongType()),
+        StructField("record_length", LongType()),
         StructField("warc_type", StringType()),
         StructField("target_uri", StringType()),
         StructField("warc_date", StringType()),
@@ -132,6 +133,7 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
             status, ctype, payload = _parse_http_block(block)
         yield {
             "record_offset": offset,
+            "record_length": block_start + length + 4 - offset,
             "warc_type": headers.get("warc-type"),
             "target_uri": headers.get("warc-target-uri"),
             "warc_date": headers.get("warc-date"),
@@ -234,3 +236,41 @@ def warc_record_bytes(
             F.col(body_col), F.col("__date"), F.col("__rid"),
         ),
     ).drop("__date", "__rid")
+
+
+def cdxj_index(records: DataFrame) -> DataFrame:
+    """CDXJ capture-index rows from a WARC_RECORDS frame — the lookup
+    sidecar web-archive tooling (pywb/OpenWayback) reads: per response
+    record, a SURT-sorted url key, a 14-digit timestamp, and the capture
+    metadata. Pure JVM expressions, zero shuffles (sorting for the final
+    index file is the sink's concern).
+
+    Documented simplifications vs pywb's canonicalizer: the urlkey is
+    reverse-dotted-host ')/' + lowercased path?query (no www-stripping or
+    query-sort), and the digest is hex sha1 of the payload (pywb uses
+    base32). ``record_offset``/``record_length`` are decompressed-stream
+    coordinates (the reader gunzips whole files)."""
+    from pyspark.sql import functions as F
+
+    host = F.regexp_extract("target_uri", r"^[a-z+]+://([^/]+)", 1)
+    rest = F.lower(F.regexp_extract("target_uri", r"^[a-z+]+://[^/]*(/.*)?$", 1))
+    urlkey = F.concat(
+        F.array_join(F.reverse(F.split(F.lower(host), r"\.")), ","),
+        F.lit(")"),
+        F.when(rest == "", "/").otherwise(rest),
+    )
+    ts = F.substring(F.regexp_replace("warc_date", r"[^0-9]", ""), 1, 14)
+    return (
+        records.where(F.col("warc_type") == "response")
+        .select(
+            urlkey.alias("urlkey"),
+            ts.alias("timestamp"),
+            F.col("target_uri").alias("url"),
+            F.col("content_type").alias("mime"),
+            F.col("http_status").alias("status"),
+            F.sha1(F.col("payload")).alias("digest"),
+            F.col("record_length").alias("length"),
+            F.col("record_offset").alias("offset"),
+            F.col("file").alias("filename"),
+        )
+    )

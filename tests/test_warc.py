@@ -181,3 +181,28 @@ def test_sitemap_entries_dataframe(spark):
         "http://d00.test/sitemap-a.xml", "http://d00.test/sitemap-b.xml.gz"
     ]
     assert len(bad) == 1 and "malformed" in bad[0]["lastmod"]
+
+
+def test_cdxj_index(spark, tmp_path):
+    """CDXJ rows from a read archive: SURT urlkey, 14-digit timestamp,
+    sha1 digest, offsets/lengths that tile the decompressed stream."""
+    import hashlib
+
+    data = _mk("http://WWW.Example.test/Path?q=1", b"hello") + _mk(
+        "http://a.test/", b"two"
+    )
+    p = tmp_path / "x.warc"
+    p.write_bytes(data)
+    rows = (
+        warc.cdxj_index(warc.read_warc(spark, str(tmp_path)))
+        .orderBy("offset")
+        .collect()
+    )
+    assert rows[0]["urlkey"] == "test,example,www)/path?q=1"
+    assert rows[1]["urlkey"] == "test,a)/"
+    assert rows[0]["timestamp"] == "20260101000000"
+    assert rows[0]["digest"] == hashlib.sha1(b"hello").hexdigest()
+    assert rows[0]["offset"] == 0
+    assert rows[1]["offset"] == rows[0]["length"]
+    assert rows[0]["length"] + rows[1]["length"] == len(data)
+    assert rows[0]["status"] == 200 and rows[0]["mime"] == "text/html"
