@@ -463,7 +463,15 @@ def lm_logprob(
         )
 
     scored = bigrams(docs)
-    model = scored if model_docs is None else bigrams(model_docs)
+    if model_docs is None:
+        # self-trained: the bigram frame feeds the model counts (c12, c1)
+        # AND the scoring join — one eager checkpoint instead of three
+        # corpus explodes (the minhash-signature treatment; blocks release
+        # when the frame is garbage-collected)
+        scored = scored.localCheckpoint(eager=True)
+        model = scored
+    else:
+        model = bigrams(model_docs)
     c12 = model.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__n12"))
     c1 = model.groupBy("w1").agg(F.count(F.lit(1)).alias("__n1"))
     joined = scored.join(c12, ["w1", "w2"], "left").join(c1, ["w1"], "left")
