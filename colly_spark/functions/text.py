@@ -164,6 +164,54 @@ def winnow_doc(text: str | None, k: int = 8, window: int = 4):
     return np.unique(sel).view(np.int64)
 
 
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int = 256,
+) -> DataFrame:
+    """Passage-overlap pairs: documents sharing >= ``min_shared`` winnow
+    fingerprints (a, b, n_shared with a < b). Where whole-document MinHash
+    asks "are these docs mostly the same?", this asks "do they share any
+    substantial passage?" — the winnowing guarantee means any common
+    normalized substring of length >= window+k-1 contributes a shared
+    fingerprint, so quoted paragraphs, mirrored boilerplate, and partial
+    scrapes surface even between documents that are otherwise unrelated
+    (the Lee et al. 2022 passage-dedup motivation, approximated without a
+    suffix array).
+
+    Scale shape: the self-join is bucketed BY FINGERPRINT — fingerprints
+    seen in more than ``max_fp_freq`` docs are dropped first (ubiquitous
+    boilerplate would be an O(N^2) bucket; the cap window reuses the same
+    fp shuffle, zero extra exchanges), the join moves (doc_id, fp) pairs
+    only, and the pair aggregation is a second skinny shuffle.
+    """
+    from pyspark.sql import Window
+
+    fps = winnow_fingerprints(docs, text_col, k, window)
+    wf = Window.partitionBy("fp")
+    capped = (
+        fps.withColumn("__n", F.count(F.lit(1)).over(wf))
+        .where(F.col("__n") <= max_fp_freq)
+        .drop("__n")
+    )
+    return (
+        capped.alias("l")
+        .join(
+            capped.alias("r"),
+            (F.col("l.fp") == F.col("r.fp"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def hash_split(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -896,3 +896,23 @@ def test_pagerank_hand_graph(spark):
         assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got["a"] == max(got.values())  # both b and c point at a
+
+
+def test_winnow_overlap_pairs_planted_passage(spark):
+    """Two otherwise-different docs sharing one long passage pair up
+    (winnowing guarantee: any common normalized substring >= window+k-1
+    chars shares a fingerprint); unrelated docs don't; a fingerprint
+    present in every doc is capped out of the join."""
+    passage = "the quick brown fox jumps over the lazy dog"
+    docs = [
+        (1, "unique preamble alpha. " + passage),
+        (2, passage + " totally different continuation beta"),
+        (3, "nothing in common with the others at all gamma"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["a"], r["b"]): r["n_shared"]
+           for r in text.winnow_overlap_pairs(df, min_shared=2).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 2
+    assert not any(3 in p for p in got)
+    # cap: with max_fp_freq=1 every shared fingerprint is "ubiquitous"
+    assert text.winnow_overlap_pairs(df, max_fp_freq=1).count() == 0
