@@ -90,3 +90,39 @@ def test_stream_window_stats(spark, tmp_path):
     # only windows that END at or before it — [30,40) is correctly HELD
     # for late data and absent from the sink: the watermark contract.
     assert got == {0: (2, 3), 10: (1, 3), 20: (2, 9)}
+
+
+def test_stream_neardup_dedup(spark, tmp_path):
+    """The NEAR-dup LSM deduper behind the same foreachBatch bridge:
+    micro-batch 2 drops a near-copy of a doc admitted by micro-batch 1."""
+    from colly_spark.functions.incremental import IncrementalNearDeduper
+
+    src = str(tmp_path / "nd_drops")
+    ck = str(tmp_path / "nd_stream")
+    lsm = str(tmp_path / "nd_lsm")
+    os.makedirs(src, exist_ok=True)
+    a = "the quick brown fox jumps over the lazy dog near the old barn"
+    a2 = a.replace("dog", "cat")
+    other = "completely different content about spark shuffles and partitions"
+
+    _drop(spark, src, [(1, a), (2, other)])
+    dd = IncrementalNearDeduper(spark, checkpoint_dir=lsm, bands=16,
+                                threshold=0.5)
+    q = (
+        streaming.dedup_stream(streaming.stream_documents(spark, src), dd, ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert dd.seen_count() == 2
+
+    _drop(spark, src, [(10, a2), (11, "an unrelated late arrival entirely")])
+    dd2 = IncrementalNearDeduper(spark, checkpoint_dir=lsm, bands=16,
+                                 threshold=0.5)
+    q2 = (
+        streaming.dedup_stream(streaming.stream_documents(spark, src), dd2, ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert dd2.seen_count() == 3  # 10 near-dups admitted 1; 11 admitted
