@@ -294,6 +294,17 @@ def q_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     return winnow_fingerprints(docs).orderBy("doc_id", "fp")
 
 
+def q_bpe_pair_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer-training inner step: adjacent-character pair counts
+    weighted by pre-token frequency — corpus aggregates to the vocab table
+    first (one shuffle), pairs explode over the vocab only. Oracle
+    recomputes the regex pre-tokens and both aggregations in DuckDB."""
+    from colly_spark.functions.text import bpe_pair_stats
+
+    d = _read(spark, sf, "documents")
+    return bpe_pair_stats(d)
+
+
 def q_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Passage-overlap pairs by shared winnow fingerprints — partial-copy
     detection whole-doc MinHash misses. Gate params are tighter than the
@@ -1087,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_winnow_overlap": q_winnow_overlap,
+        "q_bpe_pair_stats": q_bpe_pair_stats,
         "q_hash_split": q_hash_split,
         "q_pack_sequences": q_pack_sequences,
         "q_stratified_sample": q_stratified_sample,
@@ -1269,6 +1281,23 @@ def oracle_sql() -> dict[str, str]:
         # uint64 wraparound), min per 4-hash window, distinct, two's
         # complement into BIGINT
         "q_winnow_fingerprints": _WINNOW_FP_SQL + " ORDER BY doc_id, fp",
+        "q_bpe_pair_stats": """
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(text,
+                '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
+                AS tok
+              FROM documents
+            ), vocab AS (
+              SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok
+            ), pairs AS (
+              SELECT freq,
+                     substring(tok, i, 1) AS l,
+                     substring(tok, i + 1, 1) AS r
+              FROM vocab, UNNEST(range(1, length(tok))) AS t(i)
+              WHERE length(tok) >= 2
+            )
+            SELECT l, r, SUM(freq) AS pair_count FROM pairs GROUP BY l, r
+        """,
         "q_winnow_overlap": f"""
             WITH wf AS ({_WINNOW_FP_SQL}),
             capped AS (

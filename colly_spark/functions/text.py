@@ -164,6 +164,43 @@ def winnow_doc(text: str | None, k: int = 8, window: int = 4):
     return np.unique(sel).view(np.int64)
 
 
+def bpe_pair_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adjacent-symbol pair frequencies — the counting step inside BPE
+    tokenizer training (the highest-count pair is the next merge). Uses
+    the standard two-level shape that makes corpus-scale training
+    tractable: aggregate the corpus to a pre-token frequency table FIRST
+    (GPT-2-style regex pre-tokens via :data:`BPE_TOKEN_RE`; vocab-bounded
+    output, one shuffle with map-side combine), then explode character
+    pairs over the DISTINCT pre-tokens weighted by frequency — the pair
+    pass costs O(vocab), not O(corpus), no matter how many documents.
+
+    Output: (l, r, pair_count). Character symbols only (merge
+    iteration is a driver-side loop over re-segmented vocab — out of
+    scope; this is the distributed inner step that dominates at scale).
+    """
+    toks = docs.select(F.explode(bpe_tokens(F.col(text_col))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("tok")),
+        lambda i: F.substring(F.col("tok"), i, F.lit(1)),
+    )
+    return (
+        vocab.where(F.length("tok") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(chars, 1, F.length("tok") - 1),
+                    F.slice(chars, 2, F.length("tok") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
 def winnow_overlap_pairs(
     docs: DataFrame,
     text_col: str = "text",

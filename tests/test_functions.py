@@ -916,3 +916,17 @@ def test_winnow_overlap_pairs_planted_passage(spark):
     assert not any(3 in p for p in got)
     # cap: with max_fp_freq=1 every shared fingerprint is "ubiquitous"
     assert text.winnow_overlap_pairs(df, max_fp_freq=1).count() == 0
+
+
+def test_bpe_pair_stats_hand_checked(spark):
+    """Pair counts on a hand-computable corpus: GPT-2 pre-tokens keep
+    their leading space as a symbol; single-char pre-tokens contribute
+    nothing; counts weight by pre-token frequency."""
+    df = spark.createDataFrame(
+        [(1, "aa ab aa"), (2, "aa")], "doc_id long, text string"
+    )
+    got = {(r["l"], r["r"]): r["pair_count"]
+           for r in text.bpe_pair_stats(df).collect()}
+    # pre-tokens: doc1 -> "aa", " ab", " aa"; doc2 -> "aa"
+    # vocab: {"aa": 2, " ab": 1, " aa": 1}
+    assert got == {("a", "a"): 3, (" ", "a"): 2, ("a", "b"): 1}
