@@ -294,6 +294,17 @@ def q_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     return winnow_fingerprints(docs).orderBy("doc_id", "fp")
 
 
+def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus health rollup (docs/tokens/quality/lang-share/
+    exact-dup count) in one stratum-key shuffle — the report a pipeline
+    reads before setting mixture weights. Oracle recomposes every metric
+    from the already-oracled T1/T2/T3/D1 formulas."""
+    from colly_spark.functions.text import corpus_report
+
+    d = _read(spark, sf, "documents")
+    return corpus_report(d)
+
+
 def q_bpe_pair_stats(spark: SparkSession, sf: str) -> DataFrame:
     """BPE tokenizer-training inner step: adjacent-character pair counts
     weighted by pre-token frequency — corpus aggregates to the vocab table
@@ -1099,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_winnow_overlap": q_winnow_overlap,
         "q_bpe_pair_stats": q_bpe_pair_stats,
+        "q_corpus_report": q_corpus_report,
         "q_hash_split": q_hash_split,
         "q_pack_sequences": q_pack_sequences,
         "q_stratified_sample": q_stratified_sample,
@@ -1281,6 +1293,40 @@ def oracle_sql() -> dict[str, str]:
         # uint64 wraparound), min per 4-hash window, distinct, two's
         # complement into BIGINT
         "q_winnow_fingerprints": _WINNOW_FP_SQL + " ORDER BY doc_id, fp",
+        "q_corpus_report": """
+            WITH per AS (
+              SELECT source,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n_tok,
+                     len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         w -> list_contains(['the','a','an','and','or','of',
+                             'to','in','is','are','was','were','be','been',
+                             'it','this','that','for','on','as'], w)))
+                       / GREATEST(len(regexp_split_to_array(trim(text),
+                                      '\\s+')), 1)::DOUBLE AS sw,
+                     (length(text)
+                      - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                       / GREATEST(length(text), 1)::DOUBLE AS punct,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS fp
+              FROM documents
+            ), scored AS (
+              SELECT source, n_tok, fp,
+                     ((CASE WHEN n_tok BETWEEN 10 AND 5000
+                            THEN 1.0 ELSE 0.3 END)
+                      + (CASE WHEN punct < 0.2 THEN 1.0 ELSE 0.5 END)
+                      + (CASE WHEN sw > 0.05 THEN 1.0 ELSE 0.4 END)) / 3.0
+                       AS q,
+                     CASE WHEN sw > 0.02 THEN 1.0 ELSE 0.0 END AS is_en
+              FROM per
+            )
+            SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+                   ROUND(AVG(q), 4) AS mean_quality,
+                   ROUND(AVG(is_en), 4) AS pct_en,
+                   COUNT(*) - COUNT(DISTINCT fp) AS n_dup_docs
+            FROM scored GROUP BY source
+        """,
         "q_bpe_pair_stats": """
             WITH toks AS (
               SELECT unnest(regexp_extract_all(text,

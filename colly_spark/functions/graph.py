@@ -35,14 +35,19 @@ def pagerank(
     list. Nodes are the distinct union of both endpoint columns; parallel
     edges count once per occurrence (a page linking twice passes twice
     the mass, matching out-degree by edge count). Ranks sum to 1."""
+    # eager localCheckpoint, not persist: both frames are read every
+    # iteration, but a persist() could never be unpersisted (the caller
+    # only sees the final ranks frame) and would leak cached blocks across
+    # calls in a long session; checkpoint blocks release when the frames
+    # are garbage-collected (the minhash-signature treatment)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).persist()
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     n_row = nodes.agg(F.count(F.lit(1)).alias("__n"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))

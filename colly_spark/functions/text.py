@@ -734,6 +734,28 @@ def mixture_sample(
     )
 
 
+def corpus_report(
+    docs: DataFrame, strata_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-stratum corpus health report — the one-pass rollup a pipeline
+    operator reads before deciding mixture weights or quality thresholds:
+    document and token counts, mean quality score, language share, and
+    exact-duplicate count (docs minus distinct normalized fingerprints).
+    One shuffle (the stratum groupBy; countDistinct's expand stays inside
+    the same aggregation); output is stratum-sized.
+    """
+    t = F.col(text_col)
+    return docs.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(t)).alias("n_tokens"),
+        F.round(F.avg(quality_score(t)), 4).alias("mean_quality"),
+        F.round(F.avg((lang_id(t) == "en").cast("double")), 4).alias("pct_en"),
+        (F.count(F.lit(1)) - F.countDistinct(fingerprint(t))).alias(
+            "n_dup_docs"
+        ),
+    )
+
+
 def analyze(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return docs.select(

@@ -119,4 +119,10 @@ def robots_delay_caps(
             _caps(F.col("robots_body")).alias("__delay_tokens"),
         )
         .where(F.col("__delay_tokens").isNotNull())
+        # defensive: the cache's anti-join fill keeps hosts unique, but a
+        # duplicate here would DUPLICATE frontier rows through the dispatch
+        # join and corrupt the FIFO window — a host-sized agg is cheap
+        # insurance (min = the strictest declared cap)
+        .groupBy("domain")
+        .agg(F.min("__delay_tokens").alias("__delay_tokens"))
     )
