@@ -1294,7 +1294,9 @@ def oracle_sql() -> dict[str, str]:
         # complement into BIGINT
         "q_winnow_fingerprints": _WINNOW_FP_SQL + " ORDER BY doc_id, fp",
         "q_corpus_report": """
-            WITH per AS (
+            WITH d0 AS (
+              SELECT source, COALESCE(text, '') AS text FROM documents
+            ), per AS (
               SELECT source,
                      CASE WHEN length(trim(text)) = 0 THEN 0
                           ELSE length(regexp_split_to_array(trim(text), '\\s+'))
@@ -1310,7 +1312,7 @@ def oracle_sql() -> dict[str, str]:
                        / GREATEST(length(text), 1)::DOUBLE AS punct,
                      md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
                        AS fp
-              FROM documents
+              FROM d0
             ), scored AS (
               SELECT source, n_tok, fp,
                      ((CASE WHEN n_tok BETWEEN 10 AND 5000

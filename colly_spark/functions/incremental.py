@@ -184,6 +184,9 @@ class IncrementalNearDeduper:
     Batch admission rule (mirrored exactly by the pure-python golden
     oracle in tools/make_golden.py):
 
+    0. a doc_id admitted by ANY earlier round drops unconditionally (the
+       id guard — exact re-crawls and crash-replayed micro-batches never
+       duplicate LSM state, independent of the occupancy cap);
     1. within the batch, verified LSH pairs (a < b) drop every ``b``
        (greedy first-wins, same rule as the one-shot operator);
     2. any batch doc with a verified match against an admitted doc drops;
@@ -248,6 +251,14 @@ class IncrementalNearDeduper:
         from colly_spark.functions.dedup import band_keys, minhash_signature
 
         batch = docs.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else docs
+        # id guard FIRST: a doc_id admitted by any earlier round never
+        # re-enters (exact re-crawls and crash-replayed micro-batches drop
+        # here unconditionally — the occupancy cap below skips saturated
+        # buckets, so without this guard a replayed doc in a saturated
+        # bucket would re-admit and duplicate LSM state). seen_sigs is
+        # bucketed on doc_id: the base side joins co-partitioned.
+        for part in self._parts("seen_sigs"):
+            batch = batch.join(part.select("doc_id"), "doc_id", "left_anti")
         sigs = minhash_signature(
             batch, text_col, self.num_hashes, self.k
         ).localCheckpoint(eager=True)

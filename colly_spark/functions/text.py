@@ -265,10 +265,7 @@ def hash_split(
     scale-up unchanged.
     """
     total = sum(w for _, w in splits)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("long") % total
-    )
+    bucket = _id_hash32(id_col) % total
     expr, lo = None, 0
     for name, w in splits:
         cond = bucket < (lo + w)
@@ -742,9 +739,12 @@ def corpus_report(
     document and token counts, mean quality score, language share, and
     exact-duplicate count (docs minus distinct normalized fingerprints).
     One shuffle (the stratum groupBy; countDistinct's expand stays inside
-    the same aggregation); output is stratum-sized.
+    the same aggregation); output is stratum-sized. NULL text coalesces to
+    empty (the IncrementalDeduper convention) so every metric counts the
+    same rows — otherwise countDistinct's NULL-skip would report each
+    NULL doc as a phantom duplicate.
     """
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     return docs.groupBy(strata_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count(t)).alias("n_tokens"),

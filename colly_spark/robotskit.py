@@ -99,22 +99,24 @@ class RobotsRules:
         return star
 
     def crawl_delay(self, user_agent: str) -> float | None:
-        """Crawl-delay seconds for this agent (longest-agent-match, ``*``
-        fallback — the same group resolution as :meth:`allowed`), or None
-        when the body declares none."""
+        """Crawl-delay seconds for this agent, or None when its group
+        declares none. Group resolution mirrors :meth:`allowed` over the
+        GROUPS (not just the delay entries): a UA matching a specific
+        group takes that group's delay — None if it declares none, even
+        when ``*`` does — and only group-less UAs fall back to ``*``
+        (REP: a UA obeys exactly one group)."""
         ua = (user_agent or "").lower()
-        best: tuple[int, float] | None = None
-        star: float | None = None
-        for agent, secs in self.delays.items():
+        best: tuple[int, str] | None = None
+        has_star = False
+        for agent, _rules in self.groups:
             if agent == "*":
-                if star is None:
-                    star = secs
+                has_star = True
             elif agent in ua or ua.startswith(agent):
                 if best is None or len(agent) > best[0]:
-                    best = (len(agent), secs)
+                    best = (len(agent), agent)
         if best is not None:
-            return best[1]
-        return star
+            return self.delays.get(best[1])
+        return self.delays.get("*") if has_star else None
 
     def allowed(self, user_agent: str, path_query: str) -> bool:
         rules = self._group_for(user_agent)

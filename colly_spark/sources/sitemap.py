@@ -100,6 +100,8 @@ def sitemap_entries(
             rows = []
             for u, b in zip(pdf[url_col], pdf[body_col]):
                 try:
+                    if b is None:
+                        raise ValueError("malformed sitemap XML: null body")
                     is_index, entries = parse_sitemap(
                         bytes(b) if not isinstance(b, str) else b
                     )

@@ -65,13 +65,22 @@ WARC_RECORDS = StructType(
 )
 
 
+def _hdr_decode(b: bytes) -> str:
+    """WARC/HTTP header values are UTF-8 per spec; legacy archives carry
+    latin-1 — try the spec encoding, fall back byte-preserving."""
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
+
 def _parse_headers(block: bytes) -> dict[str, str]:
     headers: dict[str, str] = {}
     for line in block.split(_CRLF):
         if not line or b":" not in line:
             continue
         k, _, v = line.partition(b":")
-        headers[k.strip().decode("latin-1").lower()] = v.strip().decode("latin-1")
+        headers[_hdr_decode(k.strip()).lower()] = _hdr_decode(v.strip())
     return headers
 
 
@@ -169,10 +178,12 @@ def _one_record(
     uri: str, date: str, status: int, content_type: str, body: bytes,
     record_id: str,
 ) -> bytes:
+    # UTF-8, not latin-1: WARC/1.0 header values are UTF-8 per spec, and an
+    # IRI target (non-ASCII host/path) must serialize, not crash the task
     http = (
         f"HTTP/1.1 {status} \r\nContent-Type: {content_type}\r\n"
         f"Content-Length: {len(body)}\r\n\r\n"
-    ).encode("latin-1") + body
+    ).encode("utf-8") + body
     head = (
         "WARC/1.0\r\n"
         "WARC-Type: response\r\n"
@@ -181,7 +192,7 @@ def _one_record(
         f"WARC-Record-ID: <urn:uuid:{record_id}>\r\n"
         "Content-Type: application/http;msgtype=response\r\n"
         f"Content-Length: {len(http)}\r\n\r\n"
-    ).encode("latin-1")
+    ).encode("utf-8")
     return head + http + _CRLF + _CRLF
 
 
@@ -252,8 +263,9 @@ def cdxj_index(records: DataFrame) -> DataFrame:
     coordinates (the reader gunzips whole files)."""
     from pyspark.sql import functions as F
 
-    host = F.regexp_extract("target_uri", r"^[a-z+]+://([^/]+)", 1)
-    rest = F.lower(F.regexp_extract("target_uri", r"^[a-z+]+://[^/]*(/.*)?$", 1))
+    scheme = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
+    host = F.regexp_extract("target_uri", scheme + r"([^/]+)", 1)
+    rest = F.lower(F.regexp_extract("target_uri", scheme + r"[^/]*(/.*)?$", 1))
     urlkey = F.concat(
         F.array_join(F.reverse(F.split(F.lower(host), r"\.")), ","),
         F.lit(")"),

@@ -66,9 +66,18 @@ def test_crawl_delay_parsing_and_group_resolution():
     r = parse_robots(body)
     assert r.crawl_delay("anything") == 2.0          # * fallback
     assert r.crawl_delay("SpecialBot/1.0") == 0.5    # longest agent match
-    assert r.crawl_delay("badbot") == 2.0            # bad value -> fallback
+    # badbot has its OWN group whose delay line is invalid: REP says a UA
+    # obeys exactly one group, so no delay applies — not the * fallback
+    assert r.crawl_delay("badbot") is None
     assert robots_crawl_delay(None, "x") is None
     assert robots_crawl_delay("User-agent: *\nDisallow:\n", "x") is None
+    # a specific group that declares NO delay shields its UA from *'s
+    shielded = (
+        "User-agent: specialbot\nDisallow:\n\n"
+        "User-agent: *\nCrawl-delay: 10\n"
+    )
+    assert parse_robots(shielded).crawl_delay("specialbot") is None
+    assert parse_robots(shielded).crawl_delay("otherbot") == 10.0
 
 
 def test_crawl_delay_does_not_break_allow_rules():

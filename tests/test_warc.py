@@ -169,6 +169,7 @@ def test_sitemap_entries_dataframe(spark):
             ("http://d00.test/sitemap.xml", URLSET),
             ("http://d00.test/sitemap-index.xml", INDEX),
             ("http://d00.test/broken.xml", b"not xml at all"),
+            ("http://d00.test/null.xml", None),
         ],
         "url string, body binary",
     )
@@ -180,7 +181,8 @@ def test_sitemap_entries_dataframe(spark):
     assert children == [
         "http://d00.test/sitemap-a.xml", "http://d00.test/sitemap-b.xml.gz"
     ]
-    assert len(bad) == 1 and "malformed" in bad[0]["lastmod"]
+    assert len(bad) == 2  # malformed XML + NULL body both quarantine
+    assert all("malformed" in r["lastmod"] for r in bad)
 
 
 def test_cdxj_index(spark, tmp_path):

@@ -388,7 +388,9 @@ def incremental_neardup_rows(
     rows: list[tuple[int, int]] = []
     batches = [[(d, t) for d, t in docs if d % 2 == 0], list(docs)]
     for bno, batch in enumerate(batches, start=1):
-        ids = [d for d, _ in batch]
+        # id guard first (mirror of the Spark anti-join on seen_sigs):
+        # an id admitted by any earlier round never re-enters the batch
+        ids = [d for d, _ in batch if d not in admitted]
         bkeys = {d: keys_of(d) for d in ids}
         buckets: dict[tuple[int, int], list[int]] = {}
         for d in ids:
